@@ -1,0 +1,59 @@
+"""Bilinear remap (undistort/rectify warp) as a batched JAX gather kernel.
+
+TPU-native equivalent of the per-frame cv::remap(..., INTER_LINEAR) calls at
+point_cloud.cpp:440,481. The maps are precomputed once on the host
+(geometry.rectify.init_undistort_rectify_map); per frame this is a pure
+gather + lerp that XLA fuses with the downstream crop.
+
+Matches OpenCV INTER_LINEAR with BORDER_CONSTANT(0): out-of-range source
+coordinates produce 0, partially-out-of-range taps are zero-padded.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def remap_bilinear(img: jnp.ndarray, mapx: jnp.ndarray, mapy: jnp.ndarray
+                   ) -> jnp.ndarray:
+    """Bilinear sample img at (mapx, mapy).
+
+    img: [H, W] or [H, W, C] (any numeric dtype; computed in f32).
+    mapx/mapy: [Ho, Wo] float32 source coordinates.
+    Returns [Ho, Wo(, C)] with img.dtype (rounded like OpenCV for uint8).
+    """
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    H, W, C = img.shape
+    x0 = jnp.floor(mapx)
+    y0 = jnp.floor(mapy)
+    fx = (mapx - x0)[..., None]
+    fy = (mapy - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def tap(yi, xi):
+        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        xi_c = jnp.clip(xi, 0, W - 1)
+        yi_c = jnp.clip(yi, 0, H - 1)
+        v = img[yi_c, xi_c].astype(jnp.float32)
+        return jnp.where(valid[..., None], v, 0.0)
+
+    v00 = tap(y0i, x0i)
+    v01 = tap(y0i, x0i + 1)
+    v10 = tap(y0i + 1, x0i)
+    v11 = tap(y0i + 1, x0i + 1)
+    out = (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+    if jnp.issubdtype(img.dtype, jnp.integer):
+        out = jnp.round(out)
+    out = out.astype(img.dtype)
+    return out[..., 0] if squeeze else out
+
+
+remap_bilinear_batch = jax.vmap(remap_bilinear, in_axes=(0, None, None))

@@ -1,0 +1,160 @@
+"""Scan layer vs literal ports of the reference C++ loops."""
+import math
+
+import numpy as np
+import pytest
+
+from jackal_tpu.calib import load_calibration
+from jackal_tpu.config import GroundPlaneParams, ScanParams, REF_PI
+from jackal_tpu.geometry.rectify import stereo_rectify
+from jackal_tpu.scan.valid_disp import cache_disparity_values
+from jackal_tpu.scan.obstacle import (
+    INF,
+    format_laser_scan_ranges,
+    obstacle_scan_from_disparity,
+    obstacle_scan_from_points,
+    point_cloud_from_disparity,
+)
+
+REF_CALIB = "/root/reference/calibration/amrl_jackal_webcam_stereo.yml"
+
+
+@pytest.fixture(scope="module")
+def setup():
+    c = load_calibration(REF_CALIB)
+    r = stereo_rectify(c.K1, c.D1, c.K2, c.D2, (640, 360), c.R, c.T,
+                       True, 0.0, (320, 180))
+    return c, r
+
+
+def _cache_reference_loop(Q, XR, XT, W, H, ox, oy, gp):
+    """Literal port of cacheDisparityValues (point_cloud.cpp:104-147)."""
+    out = np.zeros((H, W, 2), dtype=np.uint8)
+    tan_a = math.tan(gp.angle_thresh)
+    for i in range(W):
+        for j in range(H):
+            d = 3
+            while d <= 255:
+                V = np.array([i + ox, j + oy, d, 1.0])
+                pos = Q @ V
+                p = pos[:3] / pos[3]
+                pr = XR @ p + XT.reshape(3)
+                X, Z = pr[0], pr[2]
+                if Z < 0.0:
+                    d += 1
+                    continue
+                if X < gp.dist_thresh:
+                    if Z < gp.height_thresh:
+                        d += 1
+                        continue
+                else:
+                    if Z < gp.height_thresh + tan_a * (X - gp.dist_thresh):
+                        d += 1
+                        continue
+                break
+            else:
+                d = 256
+            out[j, i, 0] = d % 256
+            out[j, i, 1] = 255
+    return out
+
+
+def test_cache_disparity_values_matches_loop(setup):
+    c, r = setup
+    gp = GroundPlaneParams()
+    W, H, ox, oy = 20, 14, 150, 80  # small crop window for the slow loop
+    mine = cache_disparity_values(r.Q, c.XR, c.XT, W, H, ox, oy, gp)
+    ref = _cache_reference_loop(r.Q, c.XR, c.XT, W, H, ox, oy, gp)
+    np.testing.assert_array_equal(mine, ref)
+
+
+def _scan_reference_loop(dmap, valid, Q, XR, XT, ox, oy):
+    """Literal port of publishObstacleScan(Mat&) (point_cloud.cpp:213-296)."""
+    H, W = dmap.shape
+    scan = np.full(91, INF)
+    mn_a, mx_a = 400.0, -400.0
+    mn_r, mx_r = INF, -500.0
+    for i in range(W):
+        for j in range(H):
+            d = int(dmap[j, i])
+            if d < valid[j, i, 0] or d > valid[j, i, 1]:
+                continue
+            V = np.array([i + ox, j + oy, d, 1.0])
+            pos = Q @ V
+            p = pos[:3] / pos[3]
+            pr = XR @ p + XT.reshape(3)
+            X, Y = pr[0], pr[1]
+            th = math.atan2(Y, X)
+            th_deg = th * 180.0 / REF_PI
+            mn_a, mx_a = min(mn_a, th), max(mx_a, th)
+            r_ = math.sqrt(X * X + Y * Y)
+            mn_r, mx_r = min(mn_r, r_), max(mx_r, r_)
+            k = int(math.floor(90.0 * (45.0 - th_deg) / 90.0))
+            if 0 <= k < 90 and r_ < scan[k]:
+                scan[k] = r_
+    return scan[:90], mn_a, mx_a, mn_r, mx_r
+
+
+def test_obstacle_scan_matches_loop(setup):
+    c, r = setup
+    H, W, ox, oy = 40, 64, 120, 70
+    valid = cache_disparity_values(r.Q, c.XR, c.XT, W, H, ox, oy)
+    rs = np.random.RandomState(3)
+    dmap = rs.randint(0, 256, size=(H, W)).astype(np.uint8)
+    res = obstacle_scan_from_disparity(
+        dmap, valid, r.Q.astype(np.float32), c.XR.astype(np.float32),
+        c.XT.astype(np.float32), ScanParams(), ox, oy)
+    ref_scan, mn_a, mx_a, mn_r, mx_r = _scan_reference_loop(
+        dmap, valid, r.Q, c.XR, c.XT, ox, oy)
+    got = np.asarray(res.scan)
+    # f32 device math vs f64 loop: compare occupied bins with tolerance
+    occ_ref = ref_scan < INF - 1
+    occ_got = got < INF - 1
+    # bin-boundary flips possible in f32; demand >97% agreement
+    assert (occ_ref == occ_got).mean() > 0.97
+    both = occ_ref & occ_got
+    np.testing.assert_allclose(got[both], ref_scan[both], rtol=1e-3)
+    assert abs(float(res.angle_min) - mn_a) < 1e-4
+    assert abs(float(res.angle_max) - mx_a) < 1e-4
+    assert abs(float(res.range_min) - mn_r) / mn_r < 1e-4
+
+
+def test_scan_from_points_ground_rejection():
+    gp = GroundPlaneParams()
+    pts = np.array([
+        [0.5, 0.0, 0.01],    # ground (X<1, Z<0.05) -> rejected
+        [0.5, 0.0, 0.10],    # obstacle
+        [2.0, 0.0, 0.08],    # below rising threshold at X=2 -> rejected
+        [2.0, 0.5, 0.30],    # obstacle
+    ])
+    res = obstacle_scan_from_points(
+        pts.astype(np.float32), np.ones(4, bool), ScanParams(), gp)
+    scan = np.asarray(res.scan)
+    occupied = (scan < INF - 1).sum()
+    assert occupied == 2
+    # obstacle at (0.5,0): theta=0 -> k = floor(45 - 0) = 45
+    assert scan[45] == pytest.approx(0.5, rel=1e-6)
+
+
+def test_point_cloud_packing(setup):
+    c, r = setup
+    H, W = 8, 10
+    dmap = np.full((H, W), 5, np.uint8)
+    dmap[0, 0] = 1  # below min_pcl_disp -> invalid
+    color = np.zeros((H, W, 3), np.uint8)
+    color[:, :, 2] = 200  # red in BGR
+    pts, rgb, valid = point_cloud_from_disparity(
+        dmap, color, r.Q.astype(np.float32), c.XR.astype(np.float32),
+        c.XT.astype(np.float32))
+    assert valid.sum() == H * W - 1
+    packed = np.asarray(rgb).view(np.int32)
+    assert packed[1] == (200 << 16)
+
+
+def test_format_laser_scan_ranges():
+    scan = np.full(90, INF)
+    scan[10] = 1.5
+    scan[50] = 2.5
+    out = format_laser_scan_ranges(scan)
+    # emitted from bin 89 down to 0 -> bin 50 first
+    np.testing.assert_allclose(out, [2.5, 1.5])
