@@ -1,0 +1,123 @@
+"""ELAS dense disparity matching as a fused masked argmin (device hot loop).
+
+Reference: computeDisparity/findMatch (elas.cpp:661-907). The per-pixel
+candidate walk (grid candidates outside the plane window, then the plane
+window with a log-prior penalty) becomes one masked scan over all D
+disparities with an order-encoding integer key, vectorized over every pixel:
+
+  for each d:  cost[v,u] = SAD16(desc1[v,u], desc2[v, u -/+ d])
+               S1 = in grid-cell candidate set and outside plane window
+               S2 = inside plane window (prior added when the plane is valid)
+               key = (val+16)*512 + rank,  rank = d (S1) | 256+d (S2)
+  result = argmin key   -- reproduces the reference's strict-< visit order
+                           (S1 ascending d, then S2 ascending d) exactly.
+
+The prior table P[dd] = (int)((-log(g+exp(-dd^2/2s^2))+log g)/b)
+(elas.cpp:804-805) is negative near the plane (a bonus), truncated toward
+zero like the C cast.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...config import ElasParams
+
+_WINDOW = 2          # findMatch window_size (elas.cpp:689)
+_MIN_VAL_INIT = 10000  # elas.cpp:735
+_KEY_BIAS = 16       # priors reach -14; keep keys non-negative
+_BIG = jnp.int32(1 << 30)
+
+
+def prior_table(params: ElasParams = ElasParams()) -> np.ndarray:
+    """P[delta_d] int32 (elas.cpp:802-805), C-cast truncation."""
+    dd = np.arange(params.disp_num, dtype=np.float64)
+    two_s2 = 2.0 * params.sigma * params.sigma
+    val = (-np.log(params.gamma + np.exp(-dd * dd / two_s2))
+           + np.log(params.gamma)) / params.beta
+    return val.astype(np.int32)  # trunc toward zero, like (int32_t)(float)
+
+
+@partial(jax.jit, static_argnames=("params", "right_image"))
+def dense_match(
+    desc1: jnp.ndarray,          # [H, W, 16] uint8 (left descriptor)
+    desc2: jnp.ndarray,          # [H, W, 16] uint8 (right descriptor)
+    plane_a: jnp.ndarray,        # [H, W] f32 per-pixel plane (rasterized)
+    plane_b: jnp.ndarray,
+    plane_c: jnp.ndarray,
+    plane_valid: jnp.ndarray,    # [H, W] bool (|a|<0.7 both images)
+    covered: jnp.ndarray,        # [H, W] bool (pixel rasterized by a tri)
+    grid_mask: jnp.ndarray,      # [gh, gw, D] bool candidate sets
+    P: jnp.ndarray,              # [D] int32 prior table
+    params: ElasParams = ElasParams(),
+    right_image: bool = False,
+) -> jnp.ndarray:
+    """Disparity map [H, W] float32: d, -1 (no candidate) or -10 (not
+    covered / texture-gated), matching the reference encodings."""
+    H, W, _ = desc1.shape
+    D = params.disp_num
+    gs = params.grid_size
+    radius = params.plane_radius
+
+    if right_image:
+        q, t = desc2, desc1
+        sign = 1
+    else:
+        q, t = desc1, desc2
+        sign = -1
+
+    # line clamp v -> [2, H-3] (elas.cpp:701)
+    vidx = jnp.clip(jnp.arange(H), 2, H - 3)
+    qc = q[vidx].astype(jnp.int16)     # [H, W, 16]
+    tc = t[vidx].astype(jnp.int16)
+
+    u = jnp.arange(W)
+    v = jnp.arange(H)
+    uu = u[None, :].astype(jnp.float32)
+    vv = v[:, None].astype(jnp.float32)
+
+    # texture gate on the (clamped-row) query descriptor (elas.cpp:715-719)
+    tex = jnp.abs(qc.astype(jnp.int32) - 128).sum(-1)
+    u_ok = (u >= _WINDOW) & (u < W - _WINDOW)
+    pixel_ok = covered & u_ok[None, :] & (tex >= params.match_texture)
+
+    # plane window (C float->int cast truncates toward zero)
+    d_plane_f = plane_a * uu + plane_b * vv + plane_c
+    d_plane = d_plane_f.astype(jnp.int32)   # trunc toward zero
+    d_min = jnp.maximum(d_plane - radius, 0)
+    d_max = jnp.minimum(d_plane + radius, D - 1)  # disp_num-1 (elas.cpp:724)
+
+    # per-pixel grid cell
+    cell_x = (u // gs)[None, :].astype(jnp.int32)
+    cell_y = (v // gs)[:, None].astype(jnp.int32)
+    cell = jnp.broadcast_to(cell_y * grid_mask.shape[1] + cell_x, (H, W))
+    grid_flat = grid_mask.reshape(-1, grid_mask.shape[-1])  # [gh*gw, D]
+
+    prior = jnp.where(plane_valid, 1, 0).astype(jnp.int32)
+
+    def body(d, best):
+        idx = jnp.clip(u + sign * d, 0, W - 1)
+        warp_ok = (u + sign * d >= _WINDOW) & (u + sign * d < W - _WINDOW)
+        cost = jnp.abs(qc - tc[:, idx]).sum(-1, dtype=jnp.int32)  # [H, W]
+        in_grid = grid_flat[cell, d]
+        in_win = (d >= d_min) & (d <= d_max)
+        cand = in_grid | in_win
+        pd = P[jnp.clip(jnp.abs(d - d_plane), 0, D - 1)]
+        val = cost + jnp.where(in_win, prior * pd, 0)
+        rank = jnp.where(in_win, 256 + d, d)
+        key = (val + _KEY_BIAS) * 512 + rank
+        key = jnp.where(cand & warp_ok[None, :] & pixel_ok, key, _BIG)
+        return jnp.minimum(best, key)
+
+    init = jnp.full((H, W), _BIG, jnp.int32)
+    best = jax.lax.fori_loop(0, D, body, init, unroll=4)
+
+    d_best = (best % 512) % 256
+    out = jnp.where(best < _BIG, d_best.astype(jnp.float32), -1.0)
+    # pixels never visited by findMatch (not covered / u out of range) stay
+    # -10; texture-gated pixels return without writing -> also -10
+    return jnp.where(pixel_ok, out, -10.0)

@@ -1,0 +1,283 @@
+"""ELAS postprocessing as fixed-shape JAX ops.
+
+Reference: leftRightConsistencyCheck (elas.cpp:909-979), removeSmallSegments
+(981-1099, BFS speckle), gapInterpolation (1101-1284), adaptiveMean
+(1287-1492, SSE approximate bilateral), median (1494-1560).
+
+TPU reformulations:
+  - L/R check: pure gather + compare.
+  - speckle: the sequential BFS defines 4-connected components under the
+    symmetric relation |d_i - d_j| <= sim_threshold over valid pixels; we
+    compute them with min-label propagation + pointer jumping (log-depth)
+    and invalidate components smaller than speckle_size. Same fixed point as
+    the BFS — order independence verified against the instrumented
+    reference.
+  - gaps: nearest-valid-left/right (cummax scans) + run-length fill.
+  - adaptive mean: 8-tap weighted shifts, including the reference's exact
+    buffer-initialization semantics (D_tmp zero pages with -10 at invalid,
+    interior-only writes).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...config import ElasParams
+
+
+@partial(jax.jit, static_argnames=("params",))
+def left_right_consistency_check(
+    D1: jnp.ndarray, D2: jnp.ndarray, params: ElasParams = ElasParams()
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """elas.cpp:909-979. Invalid -> -10."""
+    H, W = D1.shape
+    u = jnp.arange(W)[None, :].astype(jnp.float32)
+
+    def check(Da, Db, sign):
+        uw = u + sign * Da
+        ok = (Da >= 0) & (uw >= 0) & (uw < W)
+        uw_i = jnp.clip(uw.astype(jnp.int32), 0, W - 1)
+        other = jnp.take_along_axis(Db, uw_i, axis=1)
+        ok = ok & (jnp.abs(other - Da) <= params.lr_threshold)
+        return jnp.where(ok, Da, -10.0)
+
+    return check(D1, D2, -1.0), check(D2, D1, +1.0)
+
+
+def _connected_component_labels(
+    D: jnp.ndarray, sim_threshold: float
+) -> jnp.ndarray:
+    """Min-label over 4-connected components of valid pixels with
+    |d_i - d_j| <= sim_threshold. Labels are flat indices; invalid pixels
+    label themselves. Neighbor-min propagation + pointer jumping inside a
+    while_loop run to the fixed point (log-depth in component diameter), so
+    arbitrary snake-shaped components converge."""
+    H, W = D.shape
+    n = H * W
+    idx = jnp.arange(n, dtype=jnp.int32).reshape(H, W)
+    valid = D >= 0
+
+    def neigh_min(lbl):
+        l2 = lbl.reshape(H, W)
+        best = l2
+        for sl_a, sl_b in (
+            ((slice(1, None), slice(None)), (slice(None, -1), slice(None))),
+            ((slice(None, -1), slice(None)), (slice(1, None), slice(None))),
+            ((slice(None), slice(1, None)), (slice(None), slice(None, -1))),
+            ((slice(None), slice(None, -1)), (slice(None), slice(1, None))),
+        ):
+            conn = (jnp.abs(D[sl_a] - D[sl_b]) <= sim_threshold) \
+                & valid[sl_a] & valid[sl_b]
+            cand = jnp.where(conn, l2[sl_b], l2[sl_a])
+            best = best.at[sl_a].min(cand)
+        return best.reshape(-1)
+
+    def cond(state):
+        _, changed = state
+        return changed
+
+    def body(state):
+        lbl, _ = state
+        new = neigh_min(lbl)
+        new = new[new]  # pointer jump
+        new = new[new]
+        return new, jnp.any(new != lbl)
+
+    lbl, _ = jax.lax.while_loop(
+        cond, body, (idx.reshape(-1), jnp.bool_(True)))
+    return lbl.reshape(H, W)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def remove_small_segments(
+    D: jnp.ndarray, params: ElasParams = ElasParams()
+) -> jnp.ndarray:
+    """elas.cpp:981-1099: invalidate components smaller than speckle_size."""
+    H, W = D.shape
+    lbl = _connected_component_labels(D, params.speckle_sim_threshold)
+    sizes = jnp.zeros(H * W, jnp.int32).at[lbl.reshape(-1)].add(
+        (D >= 0).reshape(-1).astype(jnp.int32))
+    seg_size = sizes[lbl]
+    kill = (D >= 0) & (seg_size < params.speckle_size)
+    return jnp.where(kill, -10.0, D)
+
+
+def _nearest_valid_scan(valid: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per row: index of nearest valid pixel to the left / right (inclusive);
+    -1 / W if none."""
+    H, W = valid.shape
+    idx = jnp.arange(W)[None, :]
+    left = jax.lax.cummax(jnp.where(valid, idx, -1), axis=1)
+    right = -jax.lax.cummax(
+        jnp.where(valid, -idx, -W)[:, ::-1], axis=1)[:, ::-1]
+    return left, right
+
+
+def _gap_fill_rows(D: jnp.ndarray, gap_width: int) -> jnp.ndarray:
+    """Row-wise gap interpolation (elas.cpp:1122-1166)."""
+    valid = D >= 0
+    left, right = _nearest_valid_scan(valid)
+    W = D.shape[1]
+    has_both = (left >= 0) & (right < W)
+    gap_len = right - left - 1
+    li = jnp.clip(left, 0, W - 1)
+    ri = jnp.clip(right, 0, W - 1)
+    d1 = jnp.take_along_axis(D, li, axis=1)
+    d2 = jnp.take_along_axis(D, ri, axis=1)
+    d_ipol = jnp.where(jnp.abs(d1 - d2) < 3.0, (d1 + d2) / 2.0,
+                       jnp.minimum(d1, d2))
+    fill = (~valid) & has_both & (gap_len >= 1) & (gap_len <= gap_width)
+    return jnp.where(fill, d_ipol, D)
+
+
+def _extrapolate_rows(D: jnp.ndarray, gap_width: int) -> jnp.ndarray:
+    """Border extrapolation for add_corners mode (elas.cpp:1169-1198)."""
+    valid = D >= 0
+    W = D.shape[1]
+    idx = jnp.arange(W)[None, :]
+    first = jnp.where(valid.any(1, keepdims=True),
+                      jnp.argmax(valid, axis=1, keepdims=True), W)
+    last = jnp.where(valid.any(1, keepdims=True),
+                     W - 1 - jnp.argmax(valid[:, ::-1], axis=1, keepdims=True),
+                     -1)
+    dfirst = jnp.take_along_axis(D, jnp.clip(first, 0, W - 1), axis=1)
+    dlast = jnp.take_along_axis(D, jnp.clip(last, 0, W - 1), axis=1)
+    out = jnp.where(
+        (idx < first) & (idx >= first - gap_width), dfirst, D)
+    out = jnp.where(
+        (idx > last) & (idx <= last + gap_width), dlast, out)
+    return out
+
+
+@partial(jax.jit, static_argnames=("params",))
+def gap_interpolation(
+    D: jnp.ndarray, params: ElasParams = ElasParams()
+) -> jnp.ndarray:
+    """elas.cpp:1101-1284: row pass then column pass (on the row result)."""
+    g = params.ipol_gap_width
+    out = _gap_fill_rows(D, g)
+    if params.add_corners:
+        out = _extrapolate_rows(out, g)
+    out = _gap_fill_rows(out.T, g).T
+    if params.add_corners:
+        out = _extrapolate_rows(out.T, g).T
+    return out
+
+
+def _ref_absmask(x: jnp.ndarray) -> jnp.ndarray:
+    """Reproduce the reference's broken 'absolute value' (elas.cpp:1320):
+    `_mm_set1_ps(0x7FFFFFFF)` builds the float 2^31 (bits 0x4F000000), so
+    `_mm_and_ps(x, mask)` keeps only exponent bits {30,27,26,25,24} of x —
+    NOT |x|. The filter therefore behaves mostly like a box filter with
+    value-dependent exclusions; we emulate the exact bit pattern."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+    return jax.lax.bitcast_convert_type(
+        bits & jnp.int32(0x4F000000), jnp.float32)
+
+
+def _adaptive_pass(src: jnp.ndarray, axis: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One 8-tap pass of the reference's approximate bilateral filter.
+
+    Window offsets -4..+3 around the center; weight
+    max(0, 4 - ref_absmask(v - center)) (see _ref_absmask for the faithful
+    bug emulation). Returns (result, store_ok) with
+    store_ok = weight_sum>0 and result>=0 (elas.cpp:1434-1437)."""
+    x = src if axis == 1 else src.T
+    H, W = x.shape
+    pad = jnp.pad(x, ((0, 0), (4, 4)), constant_values=0.0)
+    center = x
+
+    def tap(off):
+        v = pad[:, 4 + off:4 + off + W]
+        w = jnp.maximum(0.0, 4.0 - _ref_absmask(v - center))
+        return v, w
+
+    # SSE lane pairing: the circular val[8] buffer puts cols 4 apart in
+    # lanes (k, k+4), which _mm_add_ps sums first; the horizontal reduce
+    # then adds lanes 0..3 sequentially. Pair t = cols (c-4+t, c+t); lane of
+    # pair t is (c+t)%4, so the sequential order rotates with c%4. Emulate
+    # all 4 rotations and select, for bit-identical f32 rounding.
+    pw, pf = [], []
+    for t in range(4):
+        v_a, w_a = tap(t - 4)
+        v_b, w_b = tap(t)
+        pw.append(w_a + w_b)
+        pf.append(w_a * v_a + w_b * v_b)
+    m = (jnp.arange(W) % 4)[None, :]
+    wsum = jnp.zeros_like(x)
+    fsum = jnp.zeros_like(x)
+    for mm in range(4):
+        o = [(k - mm) % 4 for k in range(4)]
+        wv = ((pw[o[0]] + pw[o[1]]) + pw[o[2]]) + pw[o[3]]
+        fv = ((pf[o[0]] + pf[o[1]]) + pf[o[2]]) + pf[o[3]]
+        wsum = jnp.where(m == mm, wv, wsum)
+        fsum = jnp.where(m == mm, fv, fsum)
+
+    d = fsum / jnp.where(wsum > 0, wsum, 1.0)
+    ok = (wsum > 0) & (d >= 0)
+    res = jnp.where(ok, d, x)
+    return (res if axis == 1 else res.T), (ok if axis == 1 else ok.T)
+
+
+@jax.jit
+def adaptive_mean(D: jnp.ndarray) -> jnp.ndarray:
+    """elas.cpp:1287-1492 (full-resolution 8-px variant), reproducing the
+    reference's buffer semantics:
+
+      D_copy = D with invalid -> -10 (valid values unchanged)
+      D_tmp  = zero pages, invalid -> -10; horizontal pass writes only
+               rows [3, H-4] x cols [4, W-4]
+      final  = D overwritten only at rows [4, H-4] x cols [3, W-4] where the
+               vertical pass stored
+    """
+    H, W = D.shape
+    invalid = D < 0
+    D_copy = jnp.where(invalid, -10.0, D)
+
+    # horizontal pass over D_copy
+    hres, hok = _adaptive_pass(D_copy, axis=1)
+    row_ok = (jnp.arange(H) >= 3) & (jnp.arange(H) <= H - 4)
+    col_ok = (jnp.arange(W) >= 4) & (jnp.arange(W) <= W - 4)
+    hmask = row_ok[:, None] & col_ok[None, :] & hok
+    D_tmp = jnp.where(invalid, -10.0, 0.0)
+    D_tmp = jnp.where(hmask, hres, D_tmp)
+
+    # vertical pass over D_tmp
+    vres, vok = _adaptive_pass(D_tmp, axis=0)
+    row_ok2 = (jnp.arange(H) >= 4) & (jnp.arange(H) <= H - 4)
+    col_ok2 = (jnp.arange(W) >= 3) & (jnp.arange(W) <= W - 4)
+    vmask = row_ok2[:, None] & col_ok2[None, :] & vok
+    return jnp.where(vmask, vres, D)
+
+
+@jax.jit
+def median_filter(D: jnp.ndarray) -> jnp.ndarray:
+    """elas.cpp:1494-1560: separable 7-tap median, only where D >= 0.
+
+    D_temp border semantics (calloc zeros outside the written interior)
+    reproduced."""
+    H, W = D.shape
+    ws = 3
+
+    def pass_axis(src, base, axis):
+        x = src if axis == 1 else src.T
+        h, w = x.shape
+        pad = jnp.pad(x, ((0, 0), (ws, ws)), constant_values=0.0)
+        taps = jnp.stack([pad[:, k:k + w] for k in range(2 * ws + 1)], 0)
+        med = jnp.median(taps, axis=0)
+        return med if axis == 1 else med.T
+
+    valid = D >= 0
+    interior = jnp.zeros_like(valid)
+    interior = interior.at[ws:H - ws, ws:W - ws].set(True)
+
+    med_h = pass_axis(D, D, 1)
+    D_temp = jnp.zeros_like(D)
+    D_temp = jnp.where(interior, jnp.where(valid, med_h, D), D_temp)
+
+    med_v = pass_axis(D_temp, D_temp, 0)
+    out = jnp.where(interior & valid, med_v, D)
+    return out

@@ -1,0 +1,143 @@
+"""ELAS engine vs instrumented-reference stage fixtures and golden outputs.
+
+Fixtures come from tools/make_stage_fixtures.py / make_golden_fixtures.py
+(reference libelas compiled out-of-tree). Every device stage must be
+bit-identical; end-to-end with our own Delaunay must be far inside the
+0.5 px RMSE budget.
+"""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from jackal_tpu.config import ElasParams
+from jackal_tpu.ops.descriptor import create_descriptor
+from jackal_tpu.matching.elas.support import (
+    support_candidates,
+    collect_support_points,
+)
+from jackal_tpu.matching.elas.prior import (
+    create_grid,
+    grid_mask_to_reference_lists,
+    compute_disparity_planes,
+    rasterize_planes,
+)
+from jackal_tpu.matching.elas.dense import dense_match, prior_table
+from jackal_tpu.matching.elas.post import (
+    adaptive_mean,
+    gap_interpolation,
+    left_right_consistency_check,
+    remove_small_segments,
+)
+from jackal_tpu.matching.elas.pipeline import elas_match
+
+FIX = "tests/fixtures"
+
+
+@pytest.fixture(scope="module")
+def st160():
+    return np.load(f"{FIX}/elas_stages_st160.npz")
+
+
+@pytest.fixture(scope="module")
+def st320():
+    return np.load(f"{FIX}/elas_stages_st320.npz")
+
+
+def test_descriptor_bit_exact(st160):
+    for img, ref in [("left", "desc1"), ("right", "desc2")]:
+        mine = np.asarray(create_descriptor(jnp.asarray(st160[img])))
+        np.testing.assert_array_equal(mine, st160[ref])
+
+
+def test_support_points_bit_exact(st160):
+    d1 = create_descriptor(jnp.asarray(st160["left"]))
+    d2 = create_descriptor(jnp.asarray(st160["right"]))
+    dcan = np.asarray(support_candidates(d1, d2))
+    sp = collect_support_points(dcan)
+    np.testing.assert_array_equal(sp, st160["support"])
+
+
+def test_grid_bit_exact(st160):
+    sp = st160["support"]
+    H, W = st160["left"].shape
+    for name, right in [("grid1", False), ("grid2", True)]:
+        mask = create_grid(sp, W, H, right)
+        np.testing.assert_array_equal(
+            grid_mask_to_reference_lists(mask), st160[name])
+
+
+def test_planes_match(st160):
+    for tname, pname in [("tri1", "planes1"), ("tri2", "planes2")]:
+        mine = compute_disparity_planes(st160["support"], st160[tname])
+        np.testing.assert_allclose(mine, st160[pname], atol=1e-4)
+
+
+@pytest.mark.parametrize("right", [False, True])
+def test_dense_match_bit_exact(st160, right):
+    z = st160
+    sp = z["support"]
+    H, W = z["left"].shape
+    d1 = create_descriptor(jnp.asarray(z["left"]))
+    d2 = create_descriptor(jnp.asarray(z["right"]))
+    tri = z["tri2" if right else "tri1"]
+    planes = z["planes2" if right else "planes1"]
+    maps = rasterize_planes(sp, tri, planes, W, H, right)
+    g = create_grid(sp, W, H, right)
+    P = jnp.asarray(prior_table())
+    D = np.asarray(dense_match(
+        d1, d2, jnp.asarray(maps.plane_a), jnp.asarray(maps.plane_b),
+        jnp.asarray(maps.plane_c), jnp.asarray(maps.valid),
+        jnp.asarray(maps.tri_id >= 0), jnp.asarray(g), P,
+        right_image=right))
+    np.testing.assert_array_equal(D, z["dense_D2" if right else "dense_D1"])
+
+
+def test_postprocessing_bit_exact(st160):
+    z = st160
+    L1, L2 = left_right_consistency_check(
+        jnp.asarray(z["dense_D1"]), jnp.asarray(z["dense_D2"]))
+    np.testing.assert_array_equal(np.asarray(L1), z["lr_D1"])
+    np.testing.assert_array_equal(np.asarray(L2), z["lr_D2"])
+    S1 = remove_small_segments(jnp.asarray(z["lr_D1"]))
+    np.testing.assert_array_equal(np.asarray(S1), z["speckle_D1"])
+    G1 = gap_interpolation(jnp.asarray(z["speckle_D1"]))
+    np.testing.assert_array_equal(np.asarray(G1), z["gap_D1"])
+    A1 = adaptive_mean(jnp.asarray(z["gap_D1"]))
+    np.testing.assert_array_equal(np.asarray(A1), z["final_D1"])
+
+
+def test_end_to_end_bit_exact_with_reference_triangulation(st320):
+    z = st320
+    D1, _ = elas_match(z["left"], z["right"],
+                       tri_left=z["tri1"], tri_right=z["tri2"])
+    np.testing.assert_array_equal(D1, z["final_D1"])
+
+
+@pytest.mark.parametrize("fix", ["s320_flat", "s320_boxes"])
+def test_golden_rmse(fix):
+    g = np.load(f"{FIX}/elas_golden_{fix}.npz")
+    D1, _ = elas_match(g["left"], g["right"])
+    ref = g["D1"]
+    both = (ref >= 0) & (D1 >= 0)
+    rmse = float(np.sqrt(((D1[both] - ref[both]) ** 2).mean()))
+    mask_agree = ((ref >= 0) == (D1 >= 0)).mean()
+    assert rmse <= 0.5, rmse       # north-star budget (BASELINE.md)
+    assert rmse <= 0.05, rmse      # our actual bar: ~bit-comparable
+    assert mask_agree > 0.995
+
+
+def test_golden_middlebury_preset():
+    g = np.load(f"{FIX}/elas_golden_s320_mb.npz")
+    D1, D2 = elas_match(g["left"], g["right"],
+                        params=ElasParams.middlebury())
+    for mine, ref in [(D1, g["D1"]), (D2, g["D2"])]:
+        both = (ref >= 0) & (mine >= 0)
+        rmse = float(np.sqrt(((mine[both] - ref[both]) ** 2).mean()))
+        assert rmse <= 0.05, rmse
+
+
+def test_degenerate_inputs():
+    """Flat textureless images -> no support points -> all invalid."""
+    flat = np.full((60, 80), 100, np.uint8)
+    D1, D2 = elas_match(flat, flat)
+    assert (D1 < 0).all() and (D2 < 0).all()
