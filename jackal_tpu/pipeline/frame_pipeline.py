@@ -1,0 +1,203 @@
+"""Fused perception pipeline: rect -> disparity -> cloud -> scan.
+
+The TPU-native equivalent of the point_cloud node's per-frame path
+(point_cloud.cpp:431-471 + 298-404): one startup precompute (rectification
+maps, valid-disparity cache — point_cloud.cpp:543-558) and a per-frame
+fused function. With the BM/SGM engines the whole frame step is a single
+jit; with ELAS it is two jitted device segments around the tiny host prior
+stage (see matching/elas/pipeline.py).
+
+Per-stage wall-clock logging mirrors the -l/-d/-p/-s hooks
+(point_cloud.cpp:446-462) and writes plot-script-compatible time files.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..calib import StereoCalibration
+from ..config import (
+    BMParams,
+    ElasParams,
+    GroundPlaneParams,
+    PipelineParams,
+    ScanParams,
+    SGMParams,
+)
+from ..geometry.rectify import init_undistort_rectify_map, stereo_rectify
+from ..geometry.remap import remap_bilinear
+from ..matching.bm import bm_match
+from ..matching.sgm import sgm_match
+from ..matching.elas.pipeline import elas_match
+from ..scan.obstacle import (
+    ScanResult,
+    obstacle_scan_from_disparity,
+    point_cloud_from_disparity,
+)
+from ..scan.valid_disp import cache_disparity_values
+
+
+@dataclasses.dataclass
+class FrameResult:
+    dmap: np.ndarray                 # [H, W] uint8 disparity (mono8 topic)
+    scan: ScanResult                 # obstacle scan payload
+    cloud: Optional[Tuple] = None    # (points, rgb, valid) if gen_pcl
+    dmap_time: float = 0.0
+    pcl_time: float = 0.0
+    scan_time: float = 0.0
+
+
+class StereoPipeline:
+    """Host-side orchestrator owning calibration-derived device constants."""
+
+    def __init__(
+        self,
+        calib: StereoCalibration,
+        params: PipelineParams = PipelineParams(),
+        engine: str = "elas",
+        elas_params: ElasParams = ElasParams(),
+        bm_params: BMParams = BMParams(),
+        sgm_params: SGMParams = SGMParams(),
+        gp_params: GroundPlaneParams = GroundPlaneParams(),
+        scan_params: ScanParams = ScanParams(),
+    ):
+        if engine not in ("elas", "bm", "sgm"):
+            raise ValueError(f"unknown engine {engine!r}")
+        self.calib = calib
+        self.p = params
+        self.engine = engine
+        self.elas_params = elas_params
+        self.bm_params = bm_params
+        self.sgm_params = sgm_params
+        self.gp = gp_params
+        self.sp = scan_params
+
+        # startup precompute (point_cloud.cpp:543-558)
+        rect = stereo_rectify(
+            calib.K1, calib.D1, calib.K2, calib.D2, params.calib_im_size,
+            calib.R, calib.T, zero_disparity=True, alpha=0.0,
+            new_image_size=(params.im_width, params.im_height))
+        self.rect = rect
+        lmapx, lmapy = init_undistort_rectify_map(
+            calib.K1, calib.D1, rect.R1, rect.P1,
+            (params.im_width, params.im_height))
+        rmapx, rmapy = init_undistort_rectify_map(
+            calib.K2, calib.D2, rect.R2, rect.P2,
+            (params.im_width, params.im_height))
+        self.lmap = (jnp.asarray(lmapx), jnp.asarray(lmapy))
+        self.rmap = (jnp.asarray(rmapx), jnp.asarray(rmapy))
+        self.Q32 = jnp.asarray(rect.Q, jnp.float32)
+        XR = calib.XR if calib.XR is not None else np.eye(3)
+        XT = calib.XT if calib.XT is not None else np.zeros(3)
+        self.XR32 = jnp.asarray(XR, jnp.float32)
+        self.XT32 = jnp.asarray(XT, jnp.float32)
+        if not params.gen_pcl:
+            self.valid_disp = jnp.asarray(cache_disparity_values(
+                rect.Q, XR, XT, params.crop_im_width, params.crop_im_height,
+                params.crop_offset_x, params.crop_offset_y, gp_params,
+                scan_params))
+        else:
+            self.valid_disp = None
+
+    # ---- device stages -------------------------------------------------
+    @partial(jax.jit, static_argnames=("self",))
+    def _rectify_crop(self, left_raw, right_raw):
+        p = self.p
+        left = remap_bilinear(left_raw, *self.lmap)
+        right = remap_bilinear(right_raw, *self.rmap)
+        sl = (slice(p.crop_offset_y, p.crop_offset_y + p.crop_im_height),
+              slice(p.crop_offset_x, p.crop_offset_x + p.crop_im_width))
+        return left[sl], right[sl]
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _match_fused(self, left, right):
+        """BM/SGM single-jit disparity + u8 conversion."""
+        if self.engine == "bm":
+            dL, _ = bm_match(left, right, self.bm_params)
+        else:
+            dL, _ = sgm_match(left, right, self.sgm_params)
+        return jnp.clip(jnp.round(dL), 0, 255).astype(jnp.uint8)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _scan_stage(self, dmap_u8):
+        return obstacle_scan_from_disparity(
+            dmap_u8, self.valid_disp, self.Q32, self.XR32, self.XT32,
+            self.sp, self.p.crop_offset_x, self.p.crop_offset_y)
+
+    # ---- per-frame host path (imageCallbackLeft equivalent) ------------
+    def process_frame(
+        self, left_raw: np.ndarray, right_raw: np.ndarray,
+        color_bgr: Optional[np.ndarray] = None, timing: bool = False,
+    ) -> FrameResult:
+        left, right = self._rectify_crop(
+            jnp.asarray(left_raw), jnp.asarray(right_raw))
+
+        t0 = time.time()
+        if self.engine == "elas":
+            D1, _ = elas_match(np.asarray(left), np.asarray(right),
+                               self.elas_params)
+            dmap = np.clip(np.round(D1), 0, 255).astype(np.uint8)
+            dmap_j = jnp.asarray(dmap)
+        else:
+            dmap_j = self._match_fused(left, right)
+            if timing:
+                dmap_j.block_until_ready()
+            dmap = np.asarray(dmap_j)
+        t1 = time.time()
+
+        cloud = None
+        pcl_time = 0.0
+        if self.p.gen_pcl:
+            tc = time.time()
+            cloud = point_cloud_from_disparity(
+                dmap_j, None if color_bgr is None else jnp.asarray(color_bgr),
+                self.Q32, self.XR32, self.XT32, self.sp,
+                self.p.crop_offset_x, self.p.crop_offset_y)
+            jax.block_until_ready(cloud)
+            pcl_time = time.time() - tc
+            # scan from the cloud points with ground rejection
+            from ..scan.obstacle import obstacle_scan_from_points
+            pts, rgb, valid = cloud
+            t2 = time.time()
+            scan = obstacle_scan_from_points(pts, valid, self.sp, self.gp)
+            jax.block_until_ready(scan)
+            t3 = time.time()
+        else:
+            t2 = time.time()
+            scan = self._scan_stage(dmap_j)
+            if timing:
+                jax.block_until_ready(scan)
+            t3 = time.time()
+
+        return FrameResult(
+            dmap=dmap, scan=scan, cloud=cloud,
+            dmap_time=t1 - t0, pcl_time=pcl_time, scan_time=t3 - t2)
+
+    # ---- batched fused path (throughput mode) ---------------------------
+    @partial(jax.jit, static_argnames=("self",))
+    def process_batch_fused(self, left_raw_b, right_raw_b):
+        """Fully fused batched step (BM/SGM engines): raw stereo batch in,
+        (dmap_u8 batch, scan batch) out. One XLA program; this is the
+        throughput path and the unit the chip-level benchmark measures."""
+        if self.engine == "elas":
+            raise ValueError("fused batch path requires engine='bm'|'sgm'")
+
+        def one(lr, rr):
+            left, right = self._rectify_crop(lr, rr)
+            dmap = self._match_fused(left, right)
+            scan = self._scan_stage(dmap)
+            return dmap, scan
+
+        return jax.vmap(one)(left_raw_b, right_raw_b)
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
