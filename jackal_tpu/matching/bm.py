@@ -17,26 +17,31 @@ import jax
 import jax.numpy as jnp
 
 from ..config import BMParams
+from ..ops.shifts import shifted_row_lookup
 
 
 def _box_filter(x: jnp.ndarray, r: int) -> jnp.ndarray:
-    """Separable (2r+1)^2 box sum over the last two axes via cumsum."""
+    """Separable (2r+1)^2 box sum over the last two axes.
+
+    Pure pad + cumsum + static-slice arithmetic — no jnp.take: even
+    static-index takes lower to TPU gathers and wreck batched throughput.
+    """
+    k = 2 * r + 1
+
     def along(a, axis):
-        c = jnp.cumsum(a, axis=axis, dtype=a.dtype)
+        pad = [(0, 0)] * a.ndim
+        pad[axis] = (r, r)
+        ap = jnp.pad(a, pad)
+        c = jnp.cumsum(ap, axis=axis, dtype=a.dtype)
+        zpad = [(0, 0)] * a.ndim
+        zpad[axis] = (1, 0)
+        c = jnp.pad(c, zpad)
         n = a.shape[axis]
-        pad_lo = r + 1
-        c = jnp.concatenate(
-            [jnp.zeros_like(jnp.take(c, jnp.arange(pad_lo), axis=axis)), c],
-            axis=axis)
-        hi = jnp.take(c, jnp.clip(jnp.arange(n) + 2 * r + 1, 0, n + r), axis=axis)
-        lo = jnp.take(c, jnp.arange(n), axis=axis)
+        hi = jax.lax.slice_in_dim(c, k, k + n, axis=axis)
+        lo = jax.lax.slice_in_dim(c, 0, n, axis=axis)
         return hi - lo
-    # pad so the window is centered
-    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(r, r), (r, r)])
-    s = along(along(xp, -1), -2)
-    sl = [slice(None)] * (x.ndim - 2) + [slice(r, r + x.shape[-2]),
-                                         slice(r, r + x.shape[-1])]
-    return s[tuple(sl)]
+
+    return along(along(x, x.ndim - 1), x.ndim - 2)
 
 
 @partial(jax.jit, static_argnames=("params",))
@@ -53,15 +58,16 @@ def bm_match(
     R = right_u8.astype(jnp.int32)
 
     u = jnp.arange(W)
+    R_pad = jnp.pad(R, ((0, 0), (D, 0)))
 
-    def cost_at(d):
-        idxL = jnp.clip(u - d, 0, W - 1)       # right col for left pixel
-        ad = jnp.abs(L - R[:, idxL])
+    def cost_body(d, _):
+        shifted = jax.lax.dynamic_slice_in_dim(R_pad, D - d, W, axis=1)
+        ad = jnp.abs(L - shifted)
         c = _box_filter(ad, r)
         valid = (u - d) >= 0
-        return jnp.where(valid[None, :], c, jnp.int32(1 << 24))
+        return d + 1, jnp.where(valid[None, :], c, jnp.int32(1 << 24))
 
-    costs = jax.vmap(cost_at)(jnp.arange(D))    # [D, H, W]
+    _, costs = jax.lax.scan(cost_body, 0, None, length=D)   # [D, H, W]
 
     def wta(c):
         best_d = jnp.argmin(c, axis=0).astype(jnp.int32)
@@ -72,11 +78,12 @@ def bm_match(
         second = jnp.min(jnp.where(near, jnp.int32(1 << 24), c), axis=0)
         unique = best.astype(jnp.float32) < params.uniqueness * \
             second.astype(jnp.float32)
-        # parabolic sub-pixel
-        cm = jnp.take_along_axis(
-            c, jnp.clip(best_d - 1, 0, D - 1)[None], axis=0)[0]
-        cp = jnp.take_along_axis(
-            c, jnp.clip(best_d + 1, 0, D - 1)[None], axis=0)[0]
+        # parabolic sub-pixel: neighbor costs via masked reductions
+        # (take_along_axis is a per-pixel gather -> slow on TPU)
+        cm = jnp.min(jnp.where(ds == best_d[None] - 1, c, jnp.int32(1 << 24)),
+                     axis=0)
+        cp = jnp.min(jnp.where(ds == best_d[None] + 1, c, jnp.int32(1 << 24)),
+                     axis=0)
         denom = cm + cp - 2 * best
         offs = jnp.where(
             (best_d > 0) & (best_d < D - 1) & (denom > 0),
@@ -90,24 +97,49 @@ def bm_match(
     dL, _ = wta(costs)
 
     # right disparity from the same volume: cost_R(u, d) = cost_L(u+d, d)
-    def right_cost(d):
-        idx = jnp.clip(u + d, 0, W - 1)
-        c = costs[d][:, idx]
-        return jnp.where((u + d < W)[None, :], c, jnp.int32(1 << 24))
+    costs_pad = jnp.pad(costs, ((0, 0), (0, 0), (0, D)),
+                        constant_values=1 << 24)
 
-    costsR = jax.vmap(right_cost)(jnp.arange(D))
+    def right_body(d, _):
+        c = jax.lax.dynamic_slice_in_dim(costs_pad[d], d, W, axis=1)
+        return d + 1, jnp.where((u + d < W)[None, :], c, jnp.int32(1 << 24))
+
+    _, costsR = jax.lax.scan(right_body, 0, None, length=D)
     dR, _ = wta(costsR)
 
-    # texture gate: Sobel-x energy in the window
-    gx = jnp.abs(
-        jnp.pad(L, ((0, 0), (1, 1)), mode="edge")[:, 2:]
-        - jnp.pad(L, ((0, 0), (1, 1)), mode="edge")[:, :-2])
-    tex = _box_filter(gx, r)
-    dL = jnp.where(tex >= params.texture_threshold * params.window, dL, -1.0)
+    return bm_finalize(L, dL, dR, params)
 
-    # L/R consistency
-    uw = jnp.clip((u[None, :] - dL).astype(jnp.int32), 0, W - 1)
-    other = jnp.take_along_axis(dR, uw, axis=1)
+
+def bm_texture_gate(left: jnp.ndarray, dL: jnp.ndarray,
+                    params: BMParams) -> jnp.ndarray:
+    """Invalidate low-texture pixels (Sobel-x energy in the SAD window)."""
+    r = params.window // 2
+    L = left.astype(jnp.int32)
+    pad = [(0, 0)] * (L.ndim - 1) + [(1, 1)]
+    Lp = jnp.pad(L, pad, mode="edge")
+    gx = jnp.abs(Lp[..., 2:] - Lp[..., :-2])
+    tex = _box_filter(gx, r)
+    return jnp.where(tex >= params.texture_threshold * params.window,
+                     dL, -1.0)
+
+
+def bm_finalize(left: jnp.ndarray, dL: jnp.ndarray, dR: jnp.ndarray,
+                params: BMParams) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Texture gate + L/R consistency shared by the jnp and Pallas paths.
+
+    left: intensity image(s) [..., H, W] (any int dtype); dL/dR same shape.
+    """
+    W = left.shape[-1]
+    D = params.disp_num
+    L = left.astype(jnp.int32)
+    u = jnp.arange(W)
+
+    dL = bm_texture_gate(left, dL, params)
+
+    # L/R consistency (shift-select sweep instead of per-pixel gather)
+    uw = jnp.clip((u - dL).astype(jnp.int32), 0, W - 1)
+    s = jnp.clip(u - uw, 0, D)
+    other = shifted_row_lookup(dR, s, D, -1)
     ok = (dL >= 0) & (other >= 0) & \
         (jnp.abs(other - dL) <= params.lr_threshold)
     dL = jnp.where(ok, dL, -1.0)

@@ -52,7 +52,6 @@ def dense_match(
     plane_valid: jnp.ndarray,    # [H, W] bool (|a|<0.7 both images)
     covered: jnp.ndarray,        # [H, W] bool (pixel rasterized by a tri)
     grid_mask: jnp.ndarray,      # [gh, gw, D] bool candidate sets
-    P: jnp.ndarray,              # [D] int32 prior table
     params: ElasParams = ElasParams(),
     right_image: bool = False,
 ) -> jnp.ndarray:
@@ -74,6 +73,12 @@ def dense_match(
     vidx = jnp.clip(jnp.arange(H), 2, H - 3)
     qc = q[vidx].astype(jnp.int16)     # [H, W, 16]
     tc = t[vidx].astype(jnp.int16)
+    # pad the target so the per-d column shift is a dynamic_slice, not a
+    # gather (gathers are an order of magnitude slower on TPU)
+    if right_image:
+        tc_pad = jnp.pad(tc, ((0, 0), (0, D), (0, 0)))
+    else:
+        tc_pad = jnp.pad(tc, ((0, 0), (D, 0), (0, 0)))
 
     u = jnp.arange(W)
     v = jnp.arange(H)
@@ -91,22 +96,29 @@ def dense_match(
     d_min = jnp.maximum(d_plane - radius, 0)
     d_max = jnp.minimum(d_plane + radius, D - 1)  # disp_num-1 (elas.cpp:724)
 
-    # per-pixel grid cell
-    cell_x = (u // gs)[None, :].astype(jnp.int32)
-    cell_y = (v // gs)[:, None].astype(jnp.int32)
-    cell = jnp.broadcast_to(cell_y * grid_mask.shape[1] + cell_x, (H, W))
-    grid_flat = grid_mask.reshape(-1, grid_mask.shape[-1])  # [gh*gw, D]
+    # grid candidate masks upsampled to pixel resolution once (repeat =
+    # broadcast+reshape on TPU; avoids a per-pixel gather in the hot loop)
+    gh, gw, _ = grid_mask.shape
+    grid_px = jnp.repeat(jnp.repeat(grid_mask, gs, axis=0), gs, axis=1)
+    grid_px = jnp.moveaxis(grid_px[:H, :W], -1, 0)  # [D, H, W] bool
 
     prior = jnp.where(plane_valid, 1, 0).astype(jnp.int32)
+    # prior values as static per-offset selects (radius is tiny); the table
+    # is deterministic from params, so it folds to compile-time constants
+    P_host = [int(x) for x in prior_table(params)[:radius + 1]]
 
     def body(d, best):
-        idx = jnp.clip(u + sign * d, 0, W - 1)
         warp_ok = (u + sign * d >= _WINDOW) & (u + sign * d < W - _WINDOW)
-        cost = jnp.abs(qc - tc[:, idx]).sum(-1, dtype=jnp.int32)  # [H, W]
-        in_grid = grid_flat[cell, d]
+        offset = d if right_image else D - d
+        shifted = jax.lax.dynamic_slice_in_dim(tc_pad, offset, W, axis=1)
+        cost = jnp.abs(qc - shifted).sum(-1, dtype=jnp.int32)  # [H, W]
+        in_grid = jax.lax.dynamic_index_in_dim(grid_px, d, keepdims=False)
         in_win = (d >= d_min) & (d <= d_max)
         cand = in_grid | in_win
-        pd = P[jnp.clip(jnp.abs(d - d_plane), 0, D - 1)]
+        dd = jnp.abs(d - d_plane)
+        pd = jnp.zeros((H, W), jnp.int32)
+        for j, pj in enumerate(P_host):
+            pd = jnp.where(dd == j, pj, pd)
         val = cost + jnp.where(in_win, prior * pd, 0)
         rank = jnp.where(in_win, 256 + d, d)
         key = (val + _KEY_BIAS) * 512 + rank

@@ -20,7 +20,7 @@ from ...config import ElasParams
 from ...ops.descriptor import create_descriptor
 from .support import support_candidates, collect_support_points
 from .prior import build_priors
-from .dense import dense_match, prior_table
+from .dense import dense_match
 from .post import (
     adaptive_mean,
     gap_interpolation,
@@ -71,15 +71,14 @@ def elas_match(
     maps1, maps2, grid1, grid2 = build_priors(
         support, W, H, params, tri_left=tri_left, tri_right=tri_right)
 
-    P = jnp.asarray(prior_table(params))
     D1 = dense_match(
         desc1, desc2, jnp.asarray(maps1.plane_a), jnp.asarray(maps1.plane_b),
         jnp.asarray(maps1.plane_c), jnp.asarray(maps1.valid),
-        jnp.asarray(maps1.tri_id >= 0), jnp.asarray(grid1), P, params, False)
+        jnp.asarray(maps1.tri_id >= 0), jnp.asarray(grid1), params, False)
     D2 = dense_match(
         desc1, desc2, jnp.asarray(maps2.plane_a), jnp.asarray(maps2.plane_b),
         jnp.asarray(maps2.plane_c), jnp.asarray(maps2.valid),
-        jnp.asarray(maps2.tri_id >= 0), jnp.asarray(grid2), P, params, True)
+        jnp.asarray(maps2.tri_id >= 0), jnp.asarray(grid2), params, True)
 
     if return_debug:
         dbg = ElasDebug(support, np.asarray(D1), np.asarray(D2))

@@ -26,21 +26,28 @@ import jax
 import jax.numpy as jnp
 
 from ...config import ElasParams
+from ...ops.shifts import shifted_row_lookup
 
 
 @partial(jax.jit, static_argnames=("params",))
 def left_right_consistency_check(
     D1: jnp.ndarray, D2: jnp.ndarray, params: ElasParams = ElasParams()
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """elas.cpp:909-979. Invalid -> -10."""
+    """elas.cpp:909-979. Invalid -> -10.
+
+    The warped lookup D_other[(int)(u -/+ d)] runs as a shift-select sweep
+    (ops.shifts) instead of a per-pixel gather."""
     H, W = D1.shape
     u = jnp.arange(W)[None, :].astype(jnp.float32)
+    smax = params.disp_max
 
     def check(Da, Db, sign):
         uw = u + sign * Da
         ok = (Da >= 0) & (uw >= 0) & (uw < W)
-        uw_i = jnp.clip(uw.astype(jnp.int32), 0, W - 1)
-        other = jnp.take_along_axis(Db, uw_i, axis=1)
+        # shift = u - (int)u_warp; disparities are integer-valued here
+        s = jnp.clip((sign * (uw.astype(jnp.int32)
+                              - u.astype(jnp.int32))), 0, smax)
+        other = shifted_row_lookup(Db, s, smax, int(sign))
         ok = ok & (jnp.abs(other - Da) <= params.lr_threshold)
         return jnp.where(ok, Da, -10.0)
 

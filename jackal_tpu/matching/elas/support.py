@@ -94,10 +94,17 @@ def support_candidates(
 
     def cost_scan(Bq, Bt, sign):
         """cost[nv, C, D] for query blocks Bq at all columns C against
-        target Bt at columns c + sign*d; lazily via a d-scan."""
+        target Bt at columns c + sign*d; per-d column shifts are
+        dynamic_slices of a padded copy (not gathers) for TPU speed."""
+        if sign < 0:
+            Bt_pad = jnp.pad(Bt, ((0, 0), (D, 0), (0, 0)))
+        else:
+            Bt_pad = jnp.pad(Bt, ((0, 0), (0, D), (0, 0)))
+
         def body(d, _):
-            idx = jnp.clip(jnp.arange(W) + sign * d, 0, W - 1)
-            diff = jnp.abs(Bq - Bt[:, idx]).sum(-1, dtype=jnp.int32)
+            offset = d if sign > 0 else D - d
+            shifted = jax.lax.dynamic_slice_in_dim(Bt_pad, offset, W, axis=1)
+            diff = jnp.abs(Bq - shifted).sum(-1, dtype=jnp.int32)
             return d + 1, diff
         _, out = jax.lax.scan(body, 0, None, length=D)
         return jnp.moveaxis(out, 0, -1)     # [nv, W, D]

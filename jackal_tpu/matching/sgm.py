@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SGMParams
+from ..ops.shifts import shifted_row_lookup
 
 _INVALID = jnp.int32(1 << 20)
 
@@ -54,16 +55,21 @@ def _popcount(x: jnp.ndarray) -> jnp.ndarray:
 
 def census_cost_volume(cl: jnp.ndarray, cr: jnp.ndarray, D: int
                        ) -> jnp.ndarray:
-    """Hamming cost [D, H, W] between left census and d-shifted right."""
+    """Hamming cost [D, H, W] between left census and d-shifted right.
+
+    Shifts are dynamic_slices of a padded copy (gathers compile and run an
+    order of magnitude slower on TPU)."""
     H, W = cl.shape
     u = jnp.arange(W)
+    cr_pad = jnp.pad(cr, ((0, 0), (D, 0)))
 
-    def at(d):
-        idx = jnp.clip(u - d, 0, W - 1)
-        c = _popcount(cl ^ cr[:, idx])
-        return jnp.where((u - d >= 0)[None, :], c, _INVALID)
+    def body(d, _):
+        shifted = jax.lax.dynamic_slice_in_dim(cr_pad, D - d, W, axis=1)
+        c = _popcount(cl ^ shifted)
+        return d + 1, jnp.where((u - d >= 0)[None, :], c, _INVALID)
 
-    return jax.vmap(at)(jnp.arange(D))
+    _, out = jax.lax.scan(body, 0, None, length=D)
+    return out
 
 
 def _path_scan(cost_thw: jnp.ndarray, p1: int, p2: int, shift: int
@@ -141,10 +147,11 @@ def sgm_match(
         second = jnp.min(jnp.where(near, jnp.int32(1 << 24), vol), axis=0)
         unique = best.astype(jnp.float32) < params.uniqueness * \
             second.astype(jnp.float32)
-        cm = jnp.take_along_axis(
-            vol, jnp.clip(best_d - 1, 0, D - 1)[None], axis=0)[0]
-        cp = jnp.take_along_axis(
-            vol, jnp.clip(best_d + 1, 0, D - 1)[None], axis=0)[0]
+        # neighbor costs via masked reductions (no per-pixel gathers)
+        cm = jnp.min(jnp.where(ds == best_d[None] - 1, vol,
+                               jnp.int32(1 << 24)), axis=0)
+        cp = jnp.min(jnp.where(ds == best_d[None] + 1, vol,
+                               jnp.int32(1 << 24)), axis=0)
         den = cm + cp - 2 * best
         offs = jnp.where(
             (best_d > 0) & (best_d < D - 1) & (den > 0),
@@ -154,15 +161,18 @@ def sgm_match(
 
     dL = wta(S)
 
-    def right_vol(d):
-        idx = jnp.clip(u + d, 0, W - 1)
-        return jnp.where((u + d < W)[None, :], S[d][:, idx], _INVALID)
+    S_pad = jnp.pad(S, ((0, 0), (0, 0), (0, D)), constant_values=1 << 20)
 
-    SR = jax.vmap(right_vol)(jnp.arange(D))
+    def right_body(d, _):
+        c = jax.lax.dynamic_slice_in_dim(S_pad[d], d, W, axis=1)
+        return d + 1, jnp.where((u + d < W)[None, :], c, _INVALID)
+
+    _, SR = jax.lax.scan(right_body, 0, None, length=D)
     dR = wta(SR)
 
     uw = jnp.clip((u[None, :] - dL).astype(jnp.int32), 0, W - 1)
-    other = jnp.take_along_axis(dR, uw, axis=1)
+    s = jnp.clip(u[None, :] - uw, 0, D)
+    other = shifted_row_lookup(dR, s, D, -1)
     ok = (dL >= 0) & (other >= 0) & \
         (jnp.abs(other - dL) <= params.lr_threshold)
     return jnp.where(ok, dL, -1.0), dR

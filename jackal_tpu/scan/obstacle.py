@@ -75,11 +75,14 @@ def _bin_and_reduce(
     in_range = (k >= 0) & (k < sp.bin_size)
     use = accept & in_range
 
-    flat_k = jnp.where(use, k, sp.bin_size).reshape(-1)
-    flat_r = jnp.where(use, r, INF).reshape(-1)
-    scan = jnp.full((sp.bin_size + 1,), INF, dtype=flat_r.dtype)
-    scan = scan.at[flat_k].min(flat_r)
-    scan = scan[: sp.bin_size]
+    # per-bin masked minima (unrolled) instead of a scatter-min: scatters
+    # serialize on TPU; 90 fused masked reductions stay on the VPU
+    r_masked = jnp.where(use, r, INF)
+    big = jnp.asarray(INF, r.dtype)
+    scan = jnp.stack([
+        jnp.min(jnp.where(k == kb, r_masked, big))
+        for kb in range(sp.bin_size)
+    ])
 
     big = jnp.asarray(INF, theta.dtype)
     angle_min = jnp.min(jnp.where(accept, theta, 400.0))

@@ -83,11 +83,10 @@ def test_dense_match_bit_exact(st160, right):
     planes = z["planes2" if right else "planes1"]
     maps = rasterize_planes(sp, tri, planes, W, H, right)
     g = create_grid(sp, W, H, right)
-    P = jnp.asarray(prior_table())
     D = np.asarray(dense_match(
         d1, d2, jnp.asarray(maps.plane_a), jnp.asarray(maps.plane_b),
         jnp.asarray(maps.plane_c), jnp.asarray(maps.valid),
-        jnp.asarray(maps.tri_id >= 0), jnp.asarray(g), P,
+        jnp.asarray(maps.tri_id >= 0), jnp.asarray(g),
         right_image=right))
     np.testing.assert_array_equal(D, z["dense_D2" if right else "dense_D1"])
 

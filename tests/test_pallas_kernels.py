@@ -1,0 +1,47 @@
+"""Pallas kernels vs their jnp reference engines (interpret mode on CPU)."""
+import functools
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from jackal_tpu.config import BMParams
+from jackal_tpu.matching.bm import bm_match, bm_texture_gate
+
+
+@pytest.fixture()
+def interpret_pallas(monkeypatch):
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True))
+
+
+def test_bm_pallas_matches_jnp_engine(interpret_pallas):
+    import jackal_tpu.ops.pallas.bm_kernel as bk
+    g = np.load("tests/fixtures/elas_golden_s320_flat.npz")
+    l = g["left"][:96, :320][None]
+    r = g["right"][:96, :320][None]
+    prm = BMParams()
+    dl_j, dr_j = bm_match(jnp.asarray(l[0]), jnp.asarray(r[0]), prm)
+    dl_p, dr_p = bk.bm_match_pallas(jnp.asarray(l), jnp.asarray(r), prm)
+    dl_p = bm_texture_gate(jnp.asarray(l), dl_p, prm)
+    np.testing.assert_allclose(np.asarray(dr_p)[0], np.asarray(dr_j),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dl_p)[0], np.asarray(dl_j),
+                               atol=1e-5)
+
+
+def test_bm_pallas_batch_and_offsizes(interpret_pallas):
+    import jackal_tpu.ops.pallas.bm_kernel as bk
+    rng = np.random.default_rng(0)
+    # H not a tile multiple, W not a 128 multiple, batch > 1
+    l = (rng.random((2, 37, 200)) * 255).astype(np.uint8)
+    r = (rng.random((2, 37, 200)) * 255).astype(np.uint8)
+    prm = BMParams(disp_num=32)
+    dl_p, dr_p = bk.bm_match_pallas(jnp.asarray(l), jnp.asarray(r), prm)
+    assert dl_p.shape == (2, 37, 200)
+    for b in range(2):
+        dl_j, dr_j = bm_match(jnp.asarray(l[b]), jnp.asarray(r[b]), prm)
+        np.testing.assert_allclose(np.asarray(dr_p)[b], np.asarray(dr_j),
+                                   atol=1e-5)
