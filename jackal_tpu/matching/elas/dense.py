@@ -46,9 +46,7 @@ def prior_table(params: ElasParams = ElasParams()) -> np.ndarray:
 def dense_match(
     desc1: jnp.ndarray,          # [H, W, 16] uint8 (left descriptor)
     desc2: jnp.ndarray,          # [H, W, 16] uint8 (right descriptor)
-    plane_a: jnp.ndarray,        # [H, W] f32 per-pixel plane (rasterized)
-    plane_b: jnp.ndarray,
-    plane_c: jnp.ndarray,
+    d_plane: jnp.ndarray,        # [H, W] int32 (int)(a*u+b*v+c), host-eval
     plane_valid: jnp.ndarray,    # [H, W] bool (|a|<0.7 both images)
     covered: jnp.ndarray,        # [H, W] bool (pixel rasterized by a tri)
     grid_mask: jnp.ndarray,      # [gh, gw, D] bool candidate sets
@@ -71,28 +69,24 @@ def dense_match(
 
     # line clamp v -> [2, H-3] (elas.cpp:701)
     vidx = jnp.clip(jnp.arange(H), 2, H - 3)
-    qc = q[vidx].astype(jnp.int16)     # [H, W, 16]
-    tc = t[vidx].astype(jnp.int16)
+    # channel-major [16, H, W]: a trailing 16-wide dim wastes 7/8 of the
+    # 128 lanes; per-channel [H, W] planes tile fully
+    qc = jnp.moveaxis(q[vidx].astype(jnp.int16), -1, 0)
+    tc = jnp.moveaxis(t[vidx].astype(jnp.int16), -1, 0)
     # pad the target so the per-d column shift is a dynamic_slice, not a
     # gather (gathers are an order of magnitude slower on TPU)
     if right_image:
-        tc_pad = jnp.pad(tc, ((0, 0), (0, D), (0, 0)))
+        tc_pad = jnp.pad(tc, ((0, 0), (0, 0), (0, D)))
     else:
-        tc_pad = jnp.pad(tc, ((0, 0), (D, 0), (0, 0)))
+        tc_pad = jnp.pad(tc, ((0, 0), (0, 0), (D, 0)))
 
     u = jnp.arange(W)
-    v = jnp.arange(H)
-    uu = u[None, :].astype(jnp.float32)
-    vv = v[:, None].astype(jnp.float32)
 
     # texture gate on the (clamped-row) query descriptor (elas.cpp:715-719)
-    tex = jnp.abs(qc.astype(jnp.int32) - 128).sum(-1)
+    tex = jnp.abs(qc.astype(jnp.int32) - 128).sum(0)
     u_ok = (u >= _WINDOW) & (u < W - _WINDOW)
     pixel_ok = covered & u_ok[None, :] & (tex >= params.match_texture)
 
-    # plane window (C float->int cast truncates toward zero)
-    d_plane_f = plane_a * uu + plane_b * vv + plane_c
-    d_plane = d_plane_f.astype(jnp.int32)   # trunc toward zero
     d_min = jnp.maximum(d_plane - radius, 0)
     d_max = jnp.minimum(d_plane + radius, D - 1)  # disp_num-1 (elas.cpp:724)
 
@@ -110,8 +104,12 @@ def dense_match(
     def body(d, best):
         warp_ok = (u + sign * d >= _WINDOW) & (u + sign * d < W - _WINDOW)
         offset = d if right_image else D - d
-        shifted = jax.lax.dynamic_slice_in_dim(tc_pad, offset, W, axis=1)
-        cost = jnp.abs(qc - shifted).sum(-1, dtype=jnp.int32)  # [H, W]
+        shifted = jax.lax.dynamic_slice_in_dim(tc_pad, offset, W, axis=2)
+        # SAD accumulated per channel plane (int16 on full 128-lane tiles)
+        acc = jnp.abs(qc[0] - shifted[0])
+        for c in range(1, qc.shape[0]):
+            acc = acc + jnp.abs(qc[c] - shifted[c])
+        cost = acc.astype(jnp.int32)                           # [H, W]
         in_grid = jax.lax.dynamic_index_in_dim(grid_px, d, keepdims=False)
         in_win = (d >= d_min) & (d <= d_max)
         cand = in_grid | in_win

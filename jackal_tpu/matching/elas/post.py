@@ -124,10 +124,37 @@ def _nearest_valid_scan(valid: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _gap_fill_rows(D: jnp.ndarray, gap_width: int) -> jnp.ndarray:
-    """Row-wise gap interpolation (elas.cpp:1122-1166)."""
+    """Row-wise gap interpolation (elas.cpp:1122-1166).
+
+    For the small gap widths of the ROBOTICS preset (3 px) the nearest
+    valid neighbors are found with gap_width+1 bounded shifts — far cheaper
+    on TPU than cummax scans; wide-gap presets (MIDDLEBURY: 5000) fall back
+    to the scan form."""
     valid = D >= 0
-    left, right = _nearest_valid_scan(valid)
     W = D.shape[1]
+    if gap_width <= 8:
+        K = gap_width + 1
+        big = jnp.float32(-1e9)
+        Dp = jnp.pad(D, ((0, 0), (K, K)), constant_values=big)
+        d1 = jnp.full_like(D, big)
+        kl = jnp.full(D.shape, K + 1, jnp.int32)
+        d2 = jnp.full_like(D, big)
+        kr = jnp.full(D.shape, K + 1, jnp.int32)
+        for k in range(K, 0, -1):  # nearest (smallest k) wins by overwrite
+            lv = Dp[:, K - k:K - k + W]
+            d1 = jnp.where(lv >= 0, lv, d1)
+            kl = jnp.where(lv >= 0, k, kl)
+            rv = Dp[:, K + k:K + k + W]
+            d2 = jnp.where(rv >= 0, rv, d2)
+            kr = jnp.where(rv >= 0, k, kr)
+        gap_len = kl + kr - 1
+        has_both = (d1 >= 0) & (d2 >= 0)
+        d_ipol = jnp.where(jnp.abs(d1 - d2) < 3.0, (d1 + d2) / 2.0,
+                           jnp.minimum(d1, d2))
+        fill = (~valid) & has_both & (gap_len <= gap_width)
+        return jnp.where(fill, d_ipol, D)
+
+    left, right = _nearest_valid_scan(valid)
     has_both = (left >= 0) & (right < W)
     gap_len = right - left - 1
     li = jnp.clip(left, 0, W - 1)
@@ -258,6 +285,52 @@ def adaptive_mean(D: jnp.ndarray) -> jnp.ndarray:
     col_ok2 = (jnp.arange(W) >= 3) & (jnp.arange(W) <= W - 4)
     vmask = row_ok2[:, None] & col_ok2[None, :] & vok
     return jnp.where(vmask, vres, D)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def post_tail(
+    D1: jnp.ndarray, D2: jnp.ndarray, params: ElasParams = ElasParams()
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gap interpolation + optional filters as one jitted program (the
+    post-speckle tail, used by the hybrid native-speckle path)."""
+    D1 = gap_interpolation(D1, params)
+    if not params.postprocess_only_left:
+        D2 = gap_interpolation(D2, params)
+    if params.filter_adaptive_mean:
+        D1 = adaptive_mean(D1)
+        if not params.postprocess_only_left:
+            D2 = adaptive_mean(D2)
+    if params.filter_median:
+        D1 = median_filter(D1)
+        if not params.postprocess_only_left:
+            D2 = median_filter(D2)
+    return D1, D2
+
+
+@partial(jax.jit, static_argnames=("params",))
+def postprocess(
+    D1: jnp.ndarray, D2: jnp.ndarray, params: ElasParams = ElasParams()
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full postprocessing chain as ONE jitted program (elas.cpp:108-140):
+    L/R check -> speckle -> gaps -> adaptive mean -> median, honoring
+    postprocess_only_left. One device program instead of 4-6 dispatch
+    round-trips per frame."""
+    D1, D2 = left_right_consistency_check(D1, D2, params)
+    D1 = remove_small_segments(D1, params)
+    if not params.postprocess_only_left:
+        D2 = remove_small_segments(D2, params)
+    D1 = gap_interpolation(D1, params)
+    if not params.postprocess_only_left:
+        D2 = gap_interpolation(D2, params)
+    if params.filter_adaptive_mean:
+        D1 = adaptive_mean(D1)
+        if not params.postprocess_only_left:
+            D2 = adaptive_mean(D2)
+    if params.filter_median:
+        D1 = median_filter(D1)
+        if not params.postprocess_only_left:
+            D2 = median_filter(D2)
+    return D1, D2
 
 
 @jax.jit

@@ -140,6 +140,18 @@ class PlaneMaps:
     plane_c: np.ndarray
     valid: np.ndarray     # [H, W] bool: |a|<0.7 and |a_other|<0.7
 
+    @property
+    def d_plane(self) -> np.ndarray:
+        """(int)(a*u + b*v + c) per pixel, evaluated on host float32 so the
+        reference's x86 rounding/truncation is preserved exactly (TPU f32
+        fma/excess-precision shifts trunc boundaries)."""
+        H, W = self.plane_a.shape
+        u = np.arange(W, dtype=np.float32)[None, :]
+        v = np.arange(H, dtype=np.float32)[:, None]
+        f = (self.plane_a * u).astype(np.float32) \
+            + (self.plane_b * v).astype(np.float32)
+        return (f + self.plane_c).astype(np.float32).astype(np.int32)
+
 
 def rasterize_planes(
     support: np.ndarray, tri: np.ndarray, planes: np.ndarray,

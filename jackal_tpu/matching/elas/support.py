@@ -35,13 +35,15 @@ _STEP = 2     # u_step / v_step
 
 
 def _blocks(desc: jnp.ndarray) -> jnp.ndarray:
-    """[H, W, 64] int16: the 4 16-byte blocks used by support SAD."""
+    """[64, H, W] int16 (channel-major): the 4 16-byte blocks used by the
+    support SAD. Channel-major keeps each plane on full 128-lane tiles."""
     H, W, _ = desc.shape
     p = jnp.pad(desc.astype(jnp.int16), ((2, 2), (2, 2), (0, 0)),
                 constant_values=128)
     return jnp.concatenate(
-        [p[2 + dv:2 + dv + H, 2 + du:2 + du + W] for dv, du in _BLOCK_OFFS],
-        axis=-1,
+        [jnp.moveaxis(p[2 + dv:2 + dv + H, 2 + du:2 + du + W], -1, 0)
+         for dv, du in _BLOCK_OFFS],
+        axis=0,
     )
 
 
@@ -84,8 +86,8 @@ def support_candidates(
 
     B1 = _blocks(desc1)
     B2 = _blocks(desc2)
-    B1v = B1[vs]                            # [nv, W, 64]
-    B2v = B2[vs]
+    B1v = B1[:, vs]                         # [64, nv, W]
+    B2v = B2[:, vs]
 
     tex1 = jnp.abs(desc1[vs][:, :, :].astype(jnp.int32) - 128).sum(-1)  # [nv, W]
     tex2 = jnp.abs(desc2[vs][:, :, :].astype(jnp.int32) - 128).sum(-1)
@@ -93,18 +95,18 @@ def support_candidates(
     in_v = (vs >= _WINDOW + _STEP) & (vs <= H - _WINDOW - 1 - _STEP)    # [nv]
 
     def cost_scan(Bq, Bt, sign):
-        """cost[nv, C, D] for query blocks Bq at all columns C against
-        target Bt at columns c + sign*d; per-d column shifts are
-        dynamic_slices of a padded copy (not gathers) for TPU speed."""
+        """cost[nv, C, D] for query blocks Bq [64, nv, C] against target Bt
+        at columns c + sign*d; per-d column shifts are dynamic_slices of a
+        padded copy (not gathers) for TPU speed."""
         if sign < 0:
-            Bt_pad = jnp.pad(Bt, ((0, 0), (D, 0), (0, 0)))
+            Bt_pad = jnp.pad(Bt, ((0, 0), (0, 0), (D, 0)))
         else:
-            Bt_pad = jnp.pad(Bt, ((0, 0), (0, D), (0, 0)))
+            Bt_pad = jnp.pad(Bt, ((0, 0), (0, 0), (0, D)))
 
         def body(d, _):
             offset = d if sign > 0 else D - d
-            shifted = jax.lax.dynamic_slice_in_dim(Bt_pad, offset, W, axis=1)
-            diff = jnp.abs(Bq - shifted).sum(-1, dtype=jnp.int32)
+            shifted = jax.lax.dynamic_slice_in_dim(Bt_pad, offset, W, axis=2)
+            diff = jnp.abs(Bq - shifted).sum(0, dtype=jnp.int32)
             return d + 1, diff
         _, out = jax.lax.scan(body, 0, None, length=D)
         return jnp.moveaxis(out, 0, -1)     # [nv, W, D]

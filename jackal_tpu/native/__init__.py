@@ -1,0 +1,62 @@
+"""Native (C++) runtime components, loaded via ctypes.
+
+The shared library builds on first import (g++ -O2, cached next to the
+source). No pybind11: the C ABI + ctypes keeps the toolchain dependency to
+a bare compiler.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "prior_engine.cpp")
+_SO = os.path.join(_DIR, "libjackal_prior.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build() -> None:
+    subprocess.run(
+        ["g++", "-O2", "-march=native", "-ffp-contract=off", "-shared", "-fPIC", "-o", _SO, _SRC],
+        check=True, capture_output=True)
+
+
+def load() -> ctypes.CDLL:
+    """Build (if needed) and load the native prior engine."""
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            _build()
+        lib = ctypes.CDLL(_SO)
+        c_i16p = ctypes.POINTER(ctypes.c_int16)
+        c_i32p = ctypes.POINTER(ctypes.c_int32)
+        c_f32p = ctypes.POINTER(ctypes.c_float)
+        c_u8p = ctypes.POINTER(ctypes.c_uint8)
+        i = ctypes.c_int
+        lib.prune_support.argtypes = [c_i16p, i, i, i, i, i, i, i]
+        lib.collect_support.argtypes = [c_i16p, i, i, i, c_i32p, i]
+        lib.collect_support.restype = i
+        lib.fit_planes.argtypes = [c_i32p, i, c_i32p, i, c_f32p]
+        lib.rasterize.argtypes = [c_i32p, i, c_i32p, i, i, i, i, c_i32p]
+        lib.plane_maps.argtypes = [c_i32p, c_f32p, i, i, i, i,
+                                   c_i32p, c_u8p, c_u8p]
+        lib.build_grid.argtypes = [c_i32p, i, i, i, i, i, i, c_u8p]
+        lib.remove_small_segments_native.argtypes = [
+            c_f32p, i, i, ctypes.c_float, i]
+        _lib = lib
+        return lib
+
+
+def available() -> bool:
+    try:
+        load()
+        return True
+    except Exception:
+        return False

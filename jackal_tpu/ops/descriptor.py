@@ -52,7 +52,10 @@ def sobel3x3(img_u8: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
     Interior exact vs filter::sobel3x3; 1-px border fixed to 128.
     """
-    im = img_u8.astype(jnp.int16)
+    # int32 throughout: the TPU backend miscompiles fused int16
+    # subtract+shift chains (wraps as unsigned); values fit i16 but i32 is
+    # the safe, equally-fast choice
+    im = img_u8.astype(jnp.int32)
     # column pass (convolve_cols_3x3): smooth [1,2,1] and diff [1,0,-1]
     tv = im[:-2, :] + 2 * im[1:-1, :] + im[2:, :]      # [H-2, W]
     th = im[:-2, :] - im[2:, :]
@@ -67,6 +70,7 @@ def sobel3x3(img_u8: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return du, dv
 
 
+@jax.jit
 def create_descriptor(img_u8: jnp.ndarray) -> jnp.ndarray:
     """16-channel uint8 descriptor [H, W, 16] (full-resolution variant)."""
     du, dv = sobel3x3(img_u8)

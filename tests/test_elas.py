@@ -84,8 +84,7 @@ def test_dense_match_bit_exact(st160, right):
     maps = rasterize_planes(sp, tri, planes, W, H, right)
     g = create_grid(sp, W, H, right)
     D = np.asarray(dense_match(
-        d1, d2, jnp.asarray(maps.plane_a), jnp.asarray(maps.plane_b),
-        jnp.asarray(maps.plane_c), jnp.asarray(maps.valid),
+        d1, d2, jnp.asarray(maps.d_plane), jnp.asarray(maps.valid),
         jnp.asarray(maps.tri_id >= 0), jnp.asarray(g),
         right_image=right))
     np.testing.assert_array_equal(D, z["dense_D2" if right else "dense_D1"])
