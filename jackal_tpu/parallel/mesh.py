@@ -28,7 +28,12 @@ from jax.experimental.shard_map import shard_map
 from ..config import BMParams
 from ..matching.bm import _box_filter
 
-_BIG32 = jnp.int32(1 << 28)
+
+def _invalid_cost(D: int) -> int:
+    """Invalid-cost sentinel. Matches the single-device engine's 1<<24
+    whenever the keyed pmin (cost*D + d) fits int32 (D <= 64); larger D
+    clamps lower (affects only the already-invalid left band)."""
+    return min(1 << 24, (1 << 30) // D - 1)
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -78,11 +83,16 @@ def _bm_tp_shard(left, right, params: BMParams, axis: str):
     R = right.astype(jnp.int32)
     u = jnp.arange(W)
 
+    BIG = jnp.int32(_invalid_cost(D))
+    # zero-pad shift exactly like the single-device engine: the box filter
+    # at valid pixels near the u<d band reads the same AD values
+    R_pad = jnp.pad(R, ((0, 0), (D, 0)))
+
     def cost_at(d):
-        idx = jnp.clip(u - d, 0, W - 1)
-        ad = jnp.abs(L - R[:, idx])
+        shifted = jax.lax.dynamic_slice_in_dim(R_pad, D - d, W, axis=1)
+        ad = jnp.abs(L - shifted)
         c = _box_filter(ad, r)
-        return jnp.where((u - d >= 0)[None, :], c, _BIG32)
+        return jnp.where((u - d >= 0)[None, :], c, BIG)
 
     local_d = jnp.arange(Dl) + d0
     costs = jax.vmap(cost_at)(local_d)            # [Dl, H, W]
@@ -97,13 +107,13 @@ def _bm_tp_shard(left, right, params: BMParams, axis: str):
     # uniqueness: min cost outside |d - best_d| <= 1
     far = jnp.abs(local_d[:, None, None] - best_d[None]) > 1
     second = jax.lax.pmin(
-        jnp.min(jnp.where(far, costs, _BIG32), axis=0), axis)
+        jnp.min(jnp.where(far, costs, BIG), axis=0), axis)
 
     # neighbors for parabolic sub-pixel
     def at_d(dq):
         hit = local_d[:, None, None] == dq[None]
         return jax.lax.pmin(
-            jnp.min(jnp.where(hit, costs, _BIG32), axis=0), axis)
+            jnp.min(jnp.where(hit, costs, BIG), axis=0), axis)
 
     cm = at_d(jnp.maximum(best_d - 1, 0))
     cp = at_d(jnp.minimum(best_d + 1, D - 1))
