@@ -9,6 +9,22 @@ kernels for the matching hot loops, and jax.sharding for multi-chip scale-out.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: the unrolled Pallas matchers compile in
+# minutes per (shape, side); cache them across processes.
+_cache_dir = _os.environ.get(
+    "JACKAL_TPU_JAX_CACHE",
+    _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..",
+                  ".jax_cache"))
+try:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:  # older jax without the knobs
+    pass
+
 from .calib import StereoCalibration, load_calibration  # noqa: F401
 from .config import (  # noqa: F401
     BMParams,

@@ -46,7 +46,7 @@ def prior_table(params: ElasParams = ElasParams()) -> np.ndarray:
 def dense_match(
     desc1: jnp.ndarray,          # [H, W, 16] uint8 (left descriptor)
     desc2: jnp.ndarray,          # [H, W, 16] uint8 (right descriptor)
-    d_plane: jnp.ndarray,        # [H, W] int32 (int)(a*u+b*v+c), host-eval
+    d_plane: jnp.ndarray,        # [H, W] int (int)(a*u+b*v+c), host-eval
     plane_valid: jnp.ndarray,    # [H, W] bool (|a|<0.7 both images)
     covered: jnp.ndarray,        # [H, W] bool (pixel rasterized by a tri)
     grid_mask: jnp.ndarray,      # [gh, gw, D] bool candidate sets
@@ -87,6 +87,7 @@ def dense_match(
     u_ok = (u >= _WINDOW) & (u < W - _WINDOW)
     pixel_ok = covered & u_ok[None, :] & (tex >= params.match_texture)
 
+    d_plane = d_plane.astype(jnp.int32)
     d_min = jnp.maximum(d_plane - radius, 0)
     d_max = jnp.minimum(d_plane + radius, D - 1)  # disp_num-1 (elas.cpp:724)
 

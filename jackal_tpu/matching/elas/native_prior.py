@@ -58,11 +58,16 @@ def collect_support_points_native(
 
 
 class _MapsNative(PlaneMaps):
-    """PlaneMaps with the d_plane evaluated natively (stored, not derived)."""
+    """PlaneMaps with the d_plane evaluated natively (stored, not derived).
+
+    d_plane is clipped to int16: values outside [-512, 511] behave
+    identically in the matcher (the +/-plane_radius window and prior
+    selects saturate), and halving the dtype matters on tunnel-attached
+    TPUs where host->device bandwidth is ~50 MB/s."""
 
     def __init__(self, tri_id, d_plane, valid):
         self.tri_id = tri_id
-        self._d_plane = d_plane
+        self._d_plane = np.clip(d_plane, -512, 511).astype(np.int16)
         self.valid = valid
         z = np.zeros_like(d_plane, np.float32)
         self.plane_a = z

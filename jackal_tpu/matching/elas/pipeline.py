@@ -37,6 +37,24 @@ except Exception:  # pragma: no cover - toolchain-less environments
     _HAVE_NATIVE = False
 
 
+def _dense_both(desc1_b, desc2_b, m1_args, m2_args, params):
+    """Batched dense matching, Pallas on TPU / jnp elsewhere.
+
+    m*_args = (d_plane [B,H,W] i32, valid [B,H,W] bool, covered, grid)."""
+    import jax
+
+    if jax.default_backend() == "tpu":
+        from ...ops.pallas.elas_dense_kernel import elas_dense_pallas
+        D1 = elas_dense_pallas(desc1_b, desc2_b, *m1_args, params, False)
+        D2 = elas_dense_pallas(desc1_b, desc2_b, *m2_args, params, True)
+        return D1, D2
+    dm = jax.vmap(lambda a, b, dp, pv, cv, gm: dense_match(
+        a, b, dp, pv, cv, gm, params, False))
+    dm_r = jax.vmap(lambda a, b, dp, pv, cv, gm: dense_match(
+        a, b, dp, pv, cv, gm, params, True))
+    return dm(desc1_b, desc2_b, *m1_args), dm_r(desc1_b, desc2_b, *m2_args)
+
+
 def _postprocess_hybrid(D1, D2, params, use_native):
     """L/R check (device) -> speckle (native BFS, exact) -> tail (device).
 
@@ -45,9 +63,16 @@ def _postprocess_hybrid(D1, D2, params, use_native):
     if not use_native:
         return postprocess(D1, D2, params)
     D1, D2 = left_right_consistency_check(D1, D2, params)
-    D1 = jnp.asarray(remove_small_segments_native(np.asarray(D1), params))
+    # disparities are integers at this stage; int16 round-trips halve the
+    # host<->device traffic (dominant on tunnel-attached TPUs)
+    D1h = np.asarray(D1.astype(jnp.int16), np.float32)
+    D1 = jnp.asarray(remove_small_segments_native(D1h, params)
+                     .astype(np.int16))
+    D1 = D1.astype(jnp.float32)
     if not params.postprocess_only_left:
-        D2 = jnp.asarray(remove_small_segments_native(np.asarray(D2), params))
+        D2h = np.asarray(D2.astype(jnp.int16), np.float32)
+        D2 = jnp.asarray(remove_small_segments_native(D2h, params)
+                         .astype(np.int16)).astype(jnp.float32)
     return post_tail(D1, D2, params)
 
 
@@ -108,12 +133,14 @@ def elas_match(
         return bad, bad.copy()
     maps1, maps2, grid1, grid2 = priors
 
-    D1 = dense_match(
-        desc1, desc2, jnp.asarray(maps1.d_plane), jnp.asarray(maps1.valid),
-        jnp.asarray(maps1.tri_id >= 0), jnp.asarray(grid1), params, False)
-    D2 = dense_match(
-        desc1, desc2, jnp.asarray(maps2.d_plane), jnp.asarray(maps2.valid),
-        jnp.asarray(maps2.tri_id >= 0), jnp.asarray(grid2), params, True)
+    D1, D2 = _dense_both(
+        desc1[None], desc2[None],
+        (jnp.asarray(maps1.d_plane)[None], jnp.asarray(maps1.valid)[None],
+         jnp.asarray(maps1.tri_id >= 0)[None], jnp.asarray(grid1)[None]),
+        (jnp.asarray(maps2.d_plane)[None], jnp.asarray(maps2.valid)[None],
+         jnp.asarray(maps2.tri_id >= 0)[None], jnp.asarray(grid2)[None]),
+        params)
+    D1, D2 = D1[0], D2[0]
 
     if return_debug:
         dbg = ElasDebug(support, np.asarray(D1), np.asarray(D2))
@@ -149,8 +176,8 @@ def elas_match_batch(
     dcan_b = np.asarray(
         jax.vmap(lambda a, b: support_candidates(a, b, params))(desc1, desc2))
 
-    d_plane1 = np.zeros((B, H, W), np.int32)
-    d_plane2 = np.zeros((B, H, W), np.int32)
+    d_plane1 = np.zeros((B, H, W), np.int16)
+    d_plane2 = np.zeros((B, H, W), np.int16)
     valid1 = np.zeros((B, H, W), bool)
     valid2 = np.zeros((B, H, W), bool)
     cov1 = np.zeros((B, H, W), bool)
@@ -174,28 +201,26 @@ def elas_match_batch(
     with ThreadPoolExecutor(max_workers=min(B, 8)) as ex:
         list(ex.map(one_frame, range(B)))
 
-    dm = jax.vmap(
-        lambda a, b, dp, pv, cv, gm: dense_match(
-            a, b, dp, pv, cv, gm, params, False))
-    dm_r = jax.vmap(
-        lambda a, b, dp, pv, cv, gm: dense_match(
-            a, b, dp, pv, cv, gm, params, True))
-    D1 = dm(desc1, desc2, jnp.asarray(d_plane1), jnp.asarray(valid1),
-            jnp.asarray(cov1), jnp.asarray(g1))
-    D2 = dm_r(desc1, desc2, jnp.asarray(d_plane2), jnp.asarray(valid2),
-              jnp.asarray(cov2), jnp.asarray(g2))
+    D1, D2 = _dense_both(
+        desc1, desc2,
+        (jnp.asarray(d_plane1), jnp.asarray(valid1), jnp.asarray(cov1),
+         jnp.asarray(g1)),
+        (jnp.asarray(d_plane2), jnp.asarray(valid2), jnp.asarray(cov2),
+         jnp.asarray(g2)),
+        params)
     if use_native:
         vlr = jax.vmap(
             lambda a, b: left_right_consistency_check(a, b, params))
         D1, D2 = vlr(D1, D2)
-        D1h = np.asarray(D1)
+        D1h = np.asarray(D1.astype(jnp.int16)).astype(np.float32)
         D1 = jnp.asarray(np.stack([
-            remove_small_segments_native(D1h[b], params) for b in range(B)]))
+            remove_small_segments_native(D1h[b], params)
+            for b in range(B)]).astype(np.int16)).astype(jnp.float32)
         if not params.postprocess_only_left:
-            D2h = np.asarray(D2)
+            D2h = np.asarray(D2.astype(jnp.int16)).astype(np.float32)
             D2 = jnp.asarray(np.stack([
                 remove_small_segments_native(D2h[b], params)
-                for b in range(B)]))
+                for b in range(B)]).astype(np.int16)).astype(jnp.float32)
         D1, D2 = jax.vmap(lambda a, b: post_tail(a, b, params))(D1, D2)
     else:
         D1, D2 = jax.vmap(lambda a, b: postprocess(a, b, params))(D1, D2)

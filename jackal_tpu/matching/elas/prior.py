@@ -150,7 +150,9 @@ class PlaneMaps:
         v = np.arange(H, dtype=np.float32)[:, None]
         f = (self.plane_a * u).astype(np.float32) \
             + (self.plane_b * v).astype(np.float32)
-        return (f + self.plane_c).astype(np.float32).astype(np.int32)
+        dp = (f + self.plane_c).astype(np.float32).astype(np.int64)
+        # int16 wire format (see native_prior._MapsNative)
+        return np.clip(dp, -512, 511).astype(np.int16)
 
 
 def rasterize_planes(

@@ -1,0 +1,192 @@
+"""Pallas kernel for the ELAS dense MAP matcher (findMatch hot loop).
+
+Same VMEM-resident design as the BM kernel: row-band grid, target
+descriptor DMA'd into a 128-margined scratch so every per-d shift is a
+static slice, and a streaming keyed min over the unrolled d loop that
+reproduces the reference's candidate visit order exactly (grid candidates
+ascending d, then the plane window ascending d; see matching/elas/dense.py
+for the key encoding contract — this kernel computes the identical keys).
+
+Inputs are precomputed by the jnp wrapper: row-clamped channel-major
+descriptors, the host-evaluated d_plane, the pixel_ok/prior masks and the
+pixel-resolution grid candidate mask (streamed per tile by BlockSpec).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import ElasParams
+from ...matching.elas.dense import prior_table, _KEY_BIAS
+
+# (margins unnecessary in the rolled-target formulation)
+_BIG = 1 << 30
+_WINDOW = 2
+
+
+def _elas_dense_kernel(q_ref, t_hbm, dplane_ref, pvalid_ref, pok_ref,
+                       grid_ref, out_ref, t_scr, sem,
+                       *, D, TH, W, W_real, GS, radius, P_host, right_image):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    C = q_ref.shape[1]
+
+    copy_t = pltpu.make_async_copy(
+        t_hbm.at[b, :, pl.ds(i * TH, TH), :], t_scr, sem)
+    copy_t.start()
+    copy_t.wait()
+
+    # per-channel [TH, W] planes (a [C, TH, W] intermediate per unrolled d
+    # blows the VMEM stack allocator)
+    q_planes = [q_ref[0, c].astype(jnp.int32) for c in range(C)]
+    # rolled-target formulation: unaligned lane-offset reads of the u8
+    # scratch materialize a realignment buffer PER READ (4096 of them blew
+    # the VMEM stack); instead keep the shifted target as loop-carried
+    # registers rolled one column per d (circular wrap lands only in the
+    # warp_ok-masked region)
+    t_roll = [t_scr[c].astype(jnp.int32) for c in range(C)]
+    # pltpu.roll needs a non-negative shift: left-roll by 1 == roll by W-1
+    roll_dir = W - 1 if right_image else 1
+    d_plane = dplane_ref[0].astype(jnp.int32)   # [TH, W] (i16 wire)
+    prior = pvalid_ref[0].astype(jnp.int32)     # [TH, W] 0/1
+    pixel_ok = pok_ref[0] != 0                  # [TH, W] bool
+    col = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 1)
+
+    d_min = jnp.maximum(d_plane - radius, 0)
+    d_max = jnp.minimum(d_plane + radius, D - 1)
+
+    best = jnp.full((TH, W), _BIG, jnp.int32)
+    sign = 1 if right_image else -1
+    for d in range(D):
+        cost = jnp.zeros((TH, W), jnp.int32)
+        for c in range(C):
+            diff = q_planes[c] - t_roll[c]
+            cost = cost + jnp.maximum(diff, -diff)
+        t_roll = [pltpu.roll(t, roll_dir, 1) for t in t_roll]
+
+        warp = col + sign * d
+        warp_ok = (warp >= _WINDOW) & (warp < W_real - _WINDOW)
+        # grid candidates: rows at cell resolution (cols pixel-expanded on
+        # host); expand rows via broadcast+concat (cheap, no repeat op)
+        in_grid = jnp.concatenate(
+            [jnp.broadcast_to(grid_ref[0, j, d, :][None, :], (GS, W))
+             for j in range(TH // GS)], axis=0) != 0
+        in_win = (d >= d_min) & (d <= d_max)
+        cand = in_grid | in_win
+        dd = d - d_plane
+        add = jnp.maximum(dd, -dd)
+        pd = jnp.zeros((TH, W), jnp.int32)
+        for j, pj in enumerate(P_host):
+            pd = jnp.where(add == j, pj, pd)
+        val = cost + jnp.where(in_win, prior * pd, 0)
+        rank = jnp.where(in_win, 256 + d, d)
+        key = (val + _KEY_BIAS) * 512 + rank
+        key = jnp.where(cand & warp_ok & pixel_ok, key, _BIG)
+        best = jnp.minimum(best, key)
+
+    d_best = (best % 512) % 256
+    out = jnp.where(best < _BIG, d_best.astype(jnp.float32), -1.0)
+    out_ref[0] = jnp.where(pixel_ok, out, -10.0)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "right_image",
+                                              "tile_h"))
+def elas_dense_pallas(
+    desc1: jnp.ndarray,          # [B, H, W, 16] uint8
+    desc2: jnp.ndarray,
+    d_plane: jnp.ndarray,        # [B, H, W] int16 (host-evaluated)
+    plane_valid: jnp.ndarray,    # [B, H, W] bool
+    covered: jnp.ndarray,        # [B, H, W] bool
+    grid_mask: jnp.ndarray,      # [B, gh, gw, D] bool
+    params: ElasParams = ElasParams(),
+    right_image: bool = False,
+    tile_h: int = 40,
+) -> jnp.ndarray:
+    """Batched ELAS dense disparity [B, H, W] f32 — identical output to
+    matching.elas.dense.dense_match, Pallas-accelerated."""
+    B, H, W, C = desc1.shape
+    D = params.disp_num
+    gs = params.grid_size
+    assert tile_h % 1 == 0
+
+    if right_image:
+        q, t = desc2, desc1
+    else:
+        q, t = desc1, desc2
+
+    # row clamp v -> [2, H-3] (elas.cpp:701), channel-major
+    vidx = jnp.clip(jnp.arange(H), 2, H - 3)
+    qc = jnp.moveaxis(q[:, vidx], -1, 1)        # [B, C, H, W]
+    tc = jnp.moveaxis(t[:, vidx], -1, 1)
+
+    # texture gate on the clamped query rows (elas.cpp:715-719)
+    tex = jnp.abs(qc.astype(jnp.int32) - 128).sum(1)
+    u = jnp.arange(W)
+    u_ok = (u >= _WINDOW) & (u < W - _WINDOW)
+    pixel_ok = covered & u_ok[None, None, :] & (tex >= params.match_texture)
+
+    TH = tile_h
+    assert TH % gs == 0, "tile height must be a multiple of grid_size"
+    n_tiles = -(-H // TH)
+    Hp = n_tiles * TH
+    Wp = -(-W // 128) * 128
+
+    # grid candidates: rows at CELL resolution (kernel expands by sublane
+    # repeat), columns at pixel resolution padded to Wp
+    # [B, gh, gw, D] -> [B, Hp/gs, D, Wp] uint8
+    gcell_rows = Hp // gs
+    grid_cols = jnp.repeat(grid_mask, gs, axis=2)[:, :, :W]     # [B,gh,W,D]
+    grid_cols = grid_cols[:, :gcell_rows]
+    gh = grid_cols.shape[1]
+    grid_cols = jnp.pad(grid_cols.astype(jnp.uint8),
+                        ((0, 0), (0, gcell_rows - gh), (0, Wp - W), (0, 0)))
+    grid_hc = jnp.moveaxis(grid_cols, 3, 2)                      # [B,R,D,Wp]
+
+    def pad_hw(x, fill=0):
+        cfg = [(0, 0)] * (x.ndim - 2) + [(0, Hp - H), (0, Wp - W)]
+        return jnp.pad(x, cfg, constant_values=fill)
+
+    qc = pad_hw(qc)
+    tc = pad_hw(tc)
+    d_plane_p = pad_hw(d_plane)
+    pvalid = pad_hw(plane_valid.astype(jnp.uint8))
+    pok = pad_hw(pixel_ok.astype(jnp.uint8))
+
+    P_host = tuple(int(x) for x in prior_table(params)[:params.plane_radius + 1])
+    kern = functools.partial(
+        _elas_dense_kernel, D=D, TH=TH, W=Wp, W_real=W, GS=gs,
+        radius=params.plane_radius, P_host=P_host, right_image=right_image)
+
+    def bs(shape3=False):
+        if shape3:
+            return pl.BlockSpec((1, TH, Wp), lambda b, i: (b, i, 0),
+                                memory_space=pltpu.VMEM)
+        return None
+
+    out = pl.pallas_call(
+        kern,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, C, TH, Wp), lambda b, i: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            bs(True),
+            bs(True),
+            bs(True),
+            pl.BlockSpec((1, TH // gs, D, Wp), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=bs(True),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((C, TH, Wp), jnp.uint8),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(qc, tc, d_plane_p, pvalid, pok, grid_hc)
+    return out[:, :H, :W]

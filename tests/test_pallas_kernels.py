@@ -45,3 +45,35 @@ def test_bm_pallas_batch_and_offsizes(interpret_pallas):
         dl_j, dr_j = bm_match(jnp.asarray(l[b]), jnp.asarray(r[b]), prm)
         np.testing.assert_allclose(np.asarray(dr_p)[b], np.asarray(dr_j),
                                    atol=1e-5)
+
+
+def test_elas_dense_pallas_matches_jnp(interpret_pallas):
+    """Tiny-shape interpret-mode equivalence vs the jnp dense matcher."""
+    import jax.numpy as jnp
+    from jackal_tpu.config import ElasParams
+    from jackal_tpu.matching.elas.dense import dense_match
+    from jackal_tpu.ops.pallas.elas_dense_kernel import elas_dense_pallas
+    from jackal_tpu.ops.descriptor import create_descriptor
+
+    rng = np.random.default_rng(0)
+    H, W = 40, 128
+    params = ElasParams(disp_max=63)
+    left = (rng.random((H, W)) * 255).astype(np.uint8)
+    right = np.roll(left, 7, axis=1)
+    d1 = create_descriptor(jnp.asarray(left))
+    d2 = create_descriptor(jnp.asarray(right))
+    d_plane = rng.integers(0, 40, (H, W)).astype(np.int32)
+    valid = rng.random((H, W)) < 0.7
+    covered = rng.random((H, W)) < 0.9
+    gh, gw = -(-H // 20), -(-W // 20)
+    grid = rng.random((gh, gw, params.disp_num)) < 0.1
+
+    for right_image in (False, True):
+        ref = np.asarray(dense_match(
+            d1, d2, jnp.asarray(d_plane), jnp.asarray(valid),
+            jnp.asarray(covered), jnp.asarray(grid), params, right_image))
+        got = np.asarray(elas_dense_pallas(
+            d1[None], d2[None], jnp.asarray(d_plane)[None],
+            jnp.asarray(valid)[None], jnp.asarray(covered)[None],
+            jnp.asarray(grid)[None], params, right_image))[0]
+        np.testing.assert_array_equal(got, ref)
