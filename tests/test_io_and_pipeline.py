@@ -124,3 +124,31 @@ def test_graft_entry_compiles():
     import __graft_entry__ as ge
     fn, args = ge.entry()
     jax.jit(fn).lower(*args).compile()
+
+
+def test_cli_point_cloud_elas_on_fixture(tmp_path):
+    """Full CLI run with the ELAS engine on real stereo content via NPZ
+    replay: raw 640x360 frames -> rectified 320x180 -> ELAS -> scan."""
+    import jax.numpy as jnp
+    from jackal_tpu.cli.point_cloud import main
+
+    g = np.load("tests/fixtures/elas_golden_s320_flat.npz")
+    # embed the rectified-size fixture into a raw-size frame (the pipeline
+    # rectifies + crops to 320x180; content is synthetic either way)
+    raw_l = np.zeros((2, 360, 640), np.uint8)
+    raw_r = np.zeros((2, 360, 640), np.uint8)
+    hh, ww = g["left"].shape
+    raw_l[:, :hh, :ww] = g["left"]
+    raw_r[:, :hh, :ww] = g["right"]
+    src = str(tmp_path / "frames.npz")
+    np.savez(src, left=raw_l, right=raw_r)
+    out = str(tmp_path / "out.npz")
+    rc = main(["--engine", "elas", "--source", src, "--frames", "2",
+               "--out", out, "-l",
+               "-d", str(tmp_path / "d.txt"), "-s", str(tmp_path / "s.txt")])
+    assert rc == 0
+    z = np.load(out)
+    assert z["dmaps"].shape == (2, 180, 320)
+    assert z["scans"].shape == (2, 90)
+    # plot-compatible time logs written
+    assert len(open(tmp_path / "d.txt").read().splitlines()) == 2
