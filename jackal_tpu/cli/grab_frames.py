@@ -10,8 +10,6 @@ import argparse
 import os
 import sys
 
-import numpy as np
-
 
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="jackal-grab-frames")

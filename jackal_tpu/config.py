@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 # The reference consistently uses 3.1415 (not math.pi) for degree conversions
 # (point_cloud.cpp:67,174,256; navigate's prints). Keep it for bit-parity.

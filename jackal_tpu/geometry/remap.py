@@ -5,12 +5,13 @@ point_cloud.cpp:440,481. The maps are precomputed once on the host
 (geometry.rectify.init_undistort_rectify_map); per frame this is a pure
 gather + lerp that XLA fuses with the downstream crop.
 
-Matches OpenCV INTER_LINEAR with BORDER_CONSTANT(0): out-of-range source
-coordinates produce 0, partially-out-of-range taps are zero-padded.
+Semantics follow cv::remap(INTER_LINEAR, BORDER_CONSTANT(0)): out-of-range
+source coordinates produce 0, partially-out-of-range taps are zero-padded.
+Values agree with OpenCV within its 5-bit fixed-point interpolation
+quantization (|diff| <= 2 intensity levels on uint8).
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -8,7 +8,7 @@ double matmul per pixel becomes one broadcast einsum.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

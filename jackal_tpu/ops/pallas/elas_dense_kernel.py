@@ -14,11 +14,8 @@ pixel-resolution grid candidate mask (streamed per tile by BlockSpec).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

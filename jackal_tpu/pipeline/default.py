@@ -5,7 +5,7 @@ import os
 from typing import Optional
 
 from ..calib import StereoCalibration, load_calibration
-from ..config import BMParams, PipelineParams, SGMParams
+from ..config import PipelineParams
 from .frame_pipeline import StereoPipeline
 
 DEFAULT_CALIB = os.path.join(

@@ -10,7 +10,7 @@ published on the in-process topic bus under the reference topic names.
 from __future__ import annotations
 
 import time
-from typing import Iterable, Iterator, Optional, Tuple
+from typing import Iterable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

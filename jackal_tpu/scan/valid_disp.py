@@ -8,8 +8,6 @@ ground-plane threshold comparisons match the reference bit-for-bit.
 from __future__ import annotations
 
 import math
-from typing import Tuple
-
 import numpy as np
 
 from ..config import GroundPlaneParams, ScanParams
