@@ -14,8 +14,9 @@ import numpy as np
 
 from ...config import ElasParams
 from ...native import load as load_native
+from .post import speckle_size_eff
 from .prior import PlaneMaps, delaunay
-from .support import add_corner_support_points
+from .support import add_corner_support_points, effective_stepsize
 
 
 def _ptr(a: np.ndarray, ctype):
@@ -32,7 +33,8 @@ def remove_small_segments_native(
     H, W = a.shape
     lib.remove_small_segments_native(
         _ptr(a, ctypes.c_float), W, H,
-        ctypes.c_float(params.speckle_sim_threshold), params.speckle_size)
+        ctypes.c_float(params.speckle_sim_threshold),
+        speckle_size_eff(params))
     return a
 
 
@@ -49,7 +51,7 @@ def collect_support_points_native(
         params.incon_min_support, 5, 1)
     out = np.zeros((ncv * ncu, 3), np.int32)
     n = lib.collect_support(
-        _ptr(D, ctypes.c_int16), ncv, ncu, params.candidate_stepsize,
+        _ptr(D, ctypes.c_int16), ncv, ncu, effective_stepsize(params),
         _ptr(out, ctypes.c_int32), ncv * ncu)
     sp = out[:n]
     if params.add_corners and width and height:

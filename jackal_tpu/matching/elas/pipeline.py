@@ -43,7 +43,7 @@ def _dense_both(desc1_b, desc2_b, m1_args, m2_args, params):
     m*_args = (d_plane [B,H,W] i32, valid [B,H,W] bool, covered, grid)."""
     import jax
 
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and not params.subsampling:
         from ...ops.pallas.elas_dense_kernel import elas_dense_pallas
         D1 = elas_dense_pallas(desc1_b, desc2_b, *m1_args, params, False)
         D2 = elas_dense_pallas(desc1_b, desc2_b, *m2_args, params, True)
@@ -111,8 +111,6 @@ def elas_match(
     tri_left/tri_right override the Delaunay triangulation (tests).
     use_native: force/forbid the C++ host prior engine (default: auto).
     """
-    if params.subsampling:
-        raise NotImplementedError("subsampling=True not supported yet")
     if left_u8.shape != right_u8.shape:
         raise ValueError(
             f"left/right shape mismatch: {left_u8.shape} vs {right_u8.shape}")
@@ -122,8 +120,8 @@ def elas_match(
     left = jnp.asarray(left_u8)
     right = jnp.asarray(right_u8)
 
-    desc1 = create_descriptor(left)
-    desc2 = create_descriptor(right)
+    desc1 = create_descriptor(left, params.subsampling)
+    desc2 = create_descriptor(right, params.subsampling)
 
     dcan = np.asarray(support_candidates(desc1, desc2, params))
     support, priors = _host_prior(
@@ -141,6 +139,11 @@ def elas_match(
          jnp.asarray(maps2.tri_id >= 0)[None], jnp.asarray(grid2)[None]),
         params)
     D1, D2 = D1[0], D2[0]
+    if params.subsampling:
+        # only even pixels are matched; outputs are W/2 x H/2
+        # (elas.cpp:793-795, 877-881)
+        D1 = D1[0::2, 0::2][:H // 2, :W // 2]
+        D2 = D2[0::2, 0::2][:H // 2, :W // 2]
 
     if return_debug:
         dbg = ElasDebug(support, np.asarray(D1), np.asarray(D2))

@@ -24,6 +24,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...config import ElasParams
 from ...ops.shifts import shifted_row_lookup
@@ -42,9 +43,12 @@ def left_right_consistency_check(
     smax = params.disp_max
 
     def check(Da, Db, sign):
-        uw = u + sign * Da
+        # subsampling: u_warp = u -/+ d/2 (elas.cpp:937-939)
+        warp_d = Da / 2 if params.subsampling else Da
+        uw = u + sign * warp_d
         ok = (Da >= 0) & (uw >= 0) & (uw < W)
         # shift = u - (int)u_warp; disparities are integer-valued here
+        # (or half-integer under subsampling; trunc matches the C cast)
         s = jnp.clip((sign * (uw.astype(jnp.int32)
                               - u.astype(jnp.int32))), 0, smax)
         other = shifted_row_lookup(Db, s, smax, int(sign))
@@ -98,6 +102,20 @@ def _connected_component_labels(
     return lbl.reshape(H, W)
 
 
+def speckle_size_eff(params: ElasParams) -> int:
+    """elas.cpp:986-991: sqrt(speckle_size)*2 under subsampling."""
+    if params.subsampling:
+        return int(np.sqrt(np.float32(params.speckle_size)) * 2)
+    return params.speckle_size
+
+
+def gap_width_eff(params: ElasParams) -> int:
+    """elas.cpp:1106-1111: ipol_gap_width/2+1 under subsampling."""
+    if params.subsampling:
+        return params.ipol_gap_width // 2 + 1
+    return params.ipol_gap_width
+
+
 @partial(jax.jit, static_argnames=("params",))
 def remove_small_segments(
     D: jnp.ndarray, params: ElasParams = ElasParams()
@@ -108,7 +126,7 @@ def remove_small_segments(
     sizes = jnp.zeros(H * W, jnp.int32).at[lbl.reshape(-1)].add(
         (D >= 0).reshape(-1).astype(jnp.int32))
     seg_size = sizes[lbl]
-    kill = (D >= 0) & (seg_size < params.speckle_size)
+    kill = (D >= 0) & (seg_size < speckle_size_eff(params))
     return jnp.where(kill, -10.0, D)
 
 
@@ -191,7 +209,7 @@ def gap_interpolation(
     D: jnp.ndarray, params: ElasParams = ElasParams()
 ) -> jnp.ndarray:
     """elas.cpp:1101-1284: row pass then column pass (on the row result)."""
-    g = params.ipol_gap_width
+    g = gap_width_eff(params)
     out = _gap_fill_rows(D, g)
     if params.add_corners:
         out = _extrapolate_rows(out, g)
@@ -256,6 +274,62 @@ def _adaptive_pass(src: jnp.ndarray, axis: int) -> Tuple[jnp.ndarray, jnp.ndarra
     return (res if axis == 1 else res.T), (ok if axis == 1 else ok.T)
 
 
+def _adaptive_pass4(src: jnp.ndarray, axis: int):
+    """4-tap variant of the approximate bilateral pass (the subsampling
+    branch, elas.cpp:1323-1391): window offsets -2..+1 around the center,
+    same broken abs-mask weights, single SSE lane group summed in the
+    col%4 rotation order."""
+    x = src if axis == 1 else src.T
+    H, W = x.shape
+    pad = jnp.pad(x, ((0, 0), (2, 2)), constant_values=0.0)
+    center = x
+
+    taps = []
+    for t in range(4):                 # offset t-2
+        v = pad[:, t:t + W]
+        w = jnp.maximum(0.0, 4.0 - _ref_absmask(v - center))
+        taps.append((w, w * v))
+
+    m = (jnp.arange(W) % 4)[None, :]
+    wsum = jnp.zeros_like(x)
+    fsum = jnp.zeros_like(x)
+    for mm in range(4):
+        o = [(k - mm + 2) % 4 for k in range(4)]
+        wv = ((taps[o[0]][0] + taps[o[1]][0]) + taps[o[2]][0]) + taps[o[3]][0]
+        fv = ((taps[o[0]][1] + taps[o[1]][1]) + taps[o[2]][1]) + taps[o[3]][1]
+        wsum = jnp.where(m == mm, wv, wsum)
+        fsum = jnp.where(m == mm, fv, fsum)
+
+    d = fsum / jnp.where(wsum > 0, wsum, 1.0)
+    ok = (wsum > 0) & (d >= 0)
+    res = jnp.where(ok, d, x)
+    return (res if axis == 1 else res.T), (ok if axis == 1 else ok.T)
+
+
+@jax.jit
+def adaptive_mean_sub(D: jnp.ndarray) -> jnp.ndarray:
+    """adaptiveMean, subsampling branch (4-px window; elas.cpp:1323-1391).
+
+    Horizontal writes rows [3, H-4] x cols [2, W-2] into D_tmp; vertical
+    writes rows [2, H-2] x cols [3, W-4] into D."""
+    H, W = D.shape
+    invalid = D < 0
+    D_copy = jnp.where(invalid, -10.0, D)
+
+    hres, hok = _adaptive_pass4(D_copy, axis=1)
+    row_ok = (jnp.arange(H) >= 3) & (jnp.arange(H) <= H - 4)
+    col_ok = (jnp.arange(W) >= 2) & (jnp.arange(W) <= W - 2)
+    hmask = row_ok[:, None] & col_ok[None, :] & hok
+    D_tmp = jnp.where(invalid, -10.0, 0.0)
+    D_tmp = jnp.where(hmask, hres, D_tmp)
+
+    vres, vok = _adaptive_pass4(D_tmp, axis=0)
+    row_ok2 = (jnp.arange(H) >= 2) & (jnp.arange(H) <= H - 2)
+    col_ok2 = (jnp.arange(W) >= 3) & (jnp.arange(W) <= W - 4)
+    vmask = row_ok2[:, None] & col_ok2[None, :] & vok
+    return jnp.where(vmask, vres, D)
+
+
 @jax.jit
 def adaptive_mean(D: jnp.ndarray) -> jnp.ndarray:
     """elas.cpp:1287-1492 (full-resolution 8-px variant), reproducing the
@@ -296,10 +370,11 @@ def post_tail(
     D1 = gap_interpolation(D1, params)
     if not params.postprocess_only_left:
         D2 = gap_interpolation(D2, params)
+    am = adaptive_mean_sub if params.subsampling else adaptive_mean
     if params.filter_adaptive_mean:
-        D1 = adaptive_mean(D1)
+        D1 = am(D1)
         if not params.postprocess_only_left:
-            D2 = adaptive_mean(D2)
+            D2 = am(D2)
     if params.filter_median:
         D1 = median_filter(D1)
         if not params.postprocess_only_left:
@@ -322,10 +397,11 @@ def postprocess(
     D1 = gap_interpolation(D1, params)
     if not params.postprocess_only_left:
         D2 = gap_interpolation(D2, params)
+    am = adaptive_mean_sub if params.subsampling else adaptive_mean
     if params.filter_adaptive_mean:
-        D1 = adaptive_mean(D1)
+        D1 = am(D1)
         if not params.postprocess_only_left:
-            D2 = adaptive_mean(D2)
+            D2 = am(D2)
     if params.filter_median:
         D1 = median_filter(D1)
         if not params.postprocess_only_left:

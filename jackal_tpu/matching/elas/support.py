@@ -28,6 +28,15 @@ import numpy as np
 
 from ...config import ElasParams
 
+def effective_stepsize(params: ElasParams) -> int:
+    """candidate_stepsize, rounded up to even under subsampling so only
+    every-second-line descriptors are touched (elas.cpp:379-381)."""
+    step = params.candidate_stepsize
+    if params.subsampling:
+        step += step % 2
+    return step
+
+
 # 4 SAD blocks at (v +/- 2, u +/- 2) (elas.cpp:275-278)
 _BLOCK_OFFS = ((-2, -2), (-2, 2), (2, -2), (2, 2))
 _WINDOW = 3   # window_size (elas.cpp:273)
@@ -75,7 +84,7 @@ def support_candidates(
     (u_can*step, v_can*step), or -1.
     """
     H, W, _ = desc1.shape
-    step = params.candidate_stepsize
+    step = effective_stepsize(params)
     ncu = -(-W // step)
     ncv = -(-H // step)
     us = jnp.arange(1, ncu) * step          # [nu]
@@ -246,7 +255,7 @@ def collect_support_points(
     remove_inconsistent_support_points(D, params)
     remove_redundant_support_points(D, 5, 1, True)
     remove_redundant_support_points(D, 5, 1, False)
-    step = params.candidate_stepsize
+    step = effective_stepsize(params)
     ncv, ncu = D.shape
     pts = []
     for u_can in range(1, ncu):       # reference order: u outer (elas.cpp:426)

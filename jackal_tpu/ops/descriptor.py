@@ -16,6 +16,7 @@ is filled with 128 (zero gradient) so texture sums vanish there.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -70,9 +71,14 @@ def sobel3x3(img_u8: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return du, dv
 
 
-@jax.jit
-def create_descriptor(img_u8: jnp.ndarray) -> jnp.ndarray:
-    """16-channel uint8 descriptor [H, W, 16] (full-resolution variant)."""
+@partial(jax.jit, static_argnames=("half_resolution",))
+def create_descriptor(img_u8: jnp.ndarray,
+                      half_resolution: bool = False) -> jnp.ndarray:
+    """16-channel uint8 descriptor [H, W, 16].
+
+    half_resolution=True (the ELAS subsampling path, descriptor.cpp:48-78)
+    computes only even rows v in [4, H-4]; odd/outside rows are 0 (fresh
+    mmap pages in the reference)."""
     du, dv = sobel3x3(img_u8)
     H, W = img_u8.shape
     # pad so shifted gathers are static slices
@@ -88,7 +94,13 @@ def create_descriptor(img_u8: jnp.ndarray) -> jnp.ndarray:
     # deterministic stand-in is 0 (verified bit-identical against the
     # instrumented reference build).
     vmask = jnp.zeros((H, W, 1), dtype=jnp.bool_)
-    vmask = vmask.at[3:H - 3, 3:W - 3, :].set(True)
+    if half_resolution:
+        rows = jnp.arange(H)
+        rmask = (rows % 2 == 0) & (rows >= 4) & (rows <= H - 4)
+        cmask = (jnp.arange(W) >= 3) & (jnp.arange(W) <= W - 4)
+        vmask = (rmask[:, None] & cmask[None, :])[..., None]
+    else:
+        vmask = vmask.at[3:H - 3, 3:W - 3, :].set(True)
     return jnp.where(vmask, desc, jnp.uint8(0))
 
 

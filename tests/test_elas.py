@@ -139,3 +139,40 @@ def test_degenerate_inputs():
     flat = np.full((60, 80), 100, np.uint8)
     D1, D2 = elas_match(flat, flat)
     assert (D1 < 0).all() and (D2 < 0).all()
+
+
+def test_subsampling_bit_exact_with_reference_triangulation():
+    """ELAS subsampling mode (elas.h:82-84): half-res descriptors, step-6
+    support grid, W/2 x H/2 output, subsampled postprocessing."""
+    import dataclasses
+    z = np.load(f"{FIX}/elas_stages_sub320.npz")
+    params = dataclasses.replace(ElasParams(), subsampling=True)
+    D1, _ = elas_match(z["left"], z["right"], params=params,
+                       tri_left=z["tri1"], tri_right=z["tri2"])
+    assert D1.shape == z["final_D1"].shape
+    np.testing.assert_array_equal(D1, z["final_D1"])
+
+
+def test_subsampling_stage_fixtures():
+    import dataclasses
+    from jackal_tpu.matching.elas.support import (
+        support_candidates as sc, collect_support_points as csp)
+    z = np.load(f"{FIX}/elas_stages_sub320.npz")
+    params = dataclasses.replace(ElasParams(), subsampling=True)
+    d1 = create_descriptor(jnp.asarray(z["left"]), True)
+    d2 = create_descriptor(jnp.asarray(z["right"]), True)
+    np.testing.assert_array_equal(np.asarray(d1), z["desc1"])
+    sp = csp(np.asarray(sc(d1, d2, params)), params)
+    np.testing.assert_array_equal(sp, z["support"])
+
+
+def test_subsampling_golden_rmse():
+    import dataclasses
+    g = np.load(f"{FIX}/elas_golden_sub320.npz")
+    params = dataclasses.replace(ElasParams(), subsampling=True)
+    D1, _ = elas_match(g["left"], g["right"], params=params)
+    ref = g["D1"]
+    both = (ref >= 0) & (D1 >= 0)
+    rmse = float(np.sqrt(((D1[both] - ref[both]) ** 2).mean()))
+    assert rmse <= 0.05
+    assert ((ref >= 0) == (D1 >= 0)).mean() > 0.995

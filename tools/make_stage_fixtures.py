@@ -100,6 +100,7 @@ int main(int argc, char** argv) {
   FILE* f2 = fopen(argv[2], "rb"); if (fread(I2.data(),1,W*H,f2)!=(size_t)(W*H)) return 2; fclose(f2);
   std::vector<float> D1(W*H), D2(W*H);
   Elas::parameters param(strcmp(preset,"MIDDLEBURY")==0 ? Elas::MIDDLEBURY : Elas::ROBOTICS);
+  if (strcmp(preset,"ROBOTICS_SUB")==0) param.subsampling = true;
   Elas elas(param);
   elas_set_dump_prefix(argv[6]);
   const int32_t dims[3] = {W, H, W};
@@ -146,6 +147,7 @@ def main():
         scenes = [
             ("st160", 160, 120, 25.0, "boxes", "ROBOTICS"),
             ("st320", 320, 184, 40.0, "boxes", "ROBOTICS"),
+            ("sub320", 320, 184, 40.0, "boxes", "ROBOTICS_SUB"),
         ]
         for name, W, H, dbase, kind, preset in scenes:
             left, right, dtrue = make_scene(rng, H, W, dbase, kind)
@@ -156,9 +158,14 @@ def main():
             subprocess.run([binary, lf, rf, str(W), str(H), preset, prefix],
                            check=True)
             gw = int(np.ceil(W / 20)); gh = int(np.ceil(H / 20))
+            sub = preset == "ROBOTICS_SUB"
+            Wd, Hd = (W // 2, H // 2) if sub else (W, H)
             def raw(stage, dt, shape=None):
                 a = np.fromfile(f"{prefix}_{stage}.raw", dt)
-                return a.reshape(shape) if shape else a
+                if shape is not None:
+                    n = int(np.prod(shape))
+                    return a[:n].reshape(shape)
+                return a
             ntri1 = len(raw("tri1", np.int32)) // 3
             ntri2 = len(raw("tri2", np.int32)) // 3
             np.savez_compressed(
@@ -173,14 +180,14 @@ def main():
                 planes2=raw("planes2", np.float32, (ntri2, 6)),
                 grid1=raw("grid1", np.int32, (gh, gw, 257)),
                 grid2=raw("grid2", np.int32, (gh, gw, 257)),
-                dense_D1=raw("dense_D1", np.float32, (H, W)),
-                dense_D2=raw("dense_D2", np.float32, (H, W)),
-                lr_D1=raw("lr_D1", np.float32, (H, W)),
-                lr_D2=raw("lr_D2", np.float32, (H, W)),
-                speckle_D1=raw("speckle_D1", np.float32, (H, W)),
-                gap_D1=raw("gap_D1", np.float32, (H, W)),
-                final_D1=raw("final_D1", np.float32, (H, W)),
-                final_D2=raw("final_D2", np.float32, (H, W)),
+                dense_D1=raw("dense_D1", np.float32, (Hd, Wd)),
+                dense_D2=raw("dense_D2", np.float32, (Hd, Wd)),
+                lr_D1=raw("lr_D1", np.float32, (Hd, Wd)),
+                lr_D2=raw("lr_D2", np.float32, (Hd, Wd)),
+                speckle_D1=raw("speckle_D1", np.float32, (Hd, Wd)),
+                gap_D1=raw("gap_D1", np.float32, (Hd, Wd)),
+                final_D1=raw("final_D1", np.float32, (Hd, Wd)),
+                final_D2=raw("final_D2", np.float32, (Hd, Wd)),
             )
             ns = len(raw("support", np.int32)) // 3
             print(f"{name}: {ns} support pts, {ntri1}/{ntri2} tris")
