@@ -16,9 +16,12 @@ identity cost_R(u, d) = cost_L(u+d, d) —
 writing only the two final float32 disparity maps. Output matches
 matching.bm's WTA semantics bit-for-bit.
 
-Mosaic notes: shifts are STATIC slices of zero/BIG-margined VMEM scratch
-buffers (no jnp.pad/concat inside the kernel); lane-dim DMA/store offsets
-are 128-aligned; the d loop is fully unrolled at trace time.
+Mosaic notes: shifts are STATIC slices of zero-margined VMEM scratch
+buffers or pltpu.roll (no jnp.pad/concat inside the kernel); lane-dim
+DMA/store offsets are 128-aligned; the d loop is fully unrolled at trace
+time, two disparities per iteration with their ADs packed into the lo/hi
+int16 halves of one int32 so the box filter's unaligned lane slices (the
+dominant cost) are paid once per pair.
 """
 from __future__ import annotations
 
@@ -86,7 +89,7 @@ class _WTA:
 
 
 def _bm_band_kernel(l_hbm, r_hbm, dl_ref, dr_ref,
-                    l_vmem, r_vmem, ad_scr, cost_scr, dr_scr, sem,
+                    l_vmem, r_vmem, r32_scr, ad_scr, dr_scr, sem,
                     *, D, r, TH, W, W_real, uniqueness, lr_threshold):
     assert D <= _M
     b = pl.program_id(0)
@@ -94,11 +97,9 @@ def _bm_band_kernel(l_hbm, r_hbm, dl_ref, dr_ref,
     THH = TH + 2 * r
     # r_vmem [THH, _M+W]: cols [0,_M) zero -> shift-by-d reads are slices.
     # ad_scr [THH, _M+W+_M]: zero margins for the horizontal box.
-    # cost_scr [TH, _M+W+_M]: BIG right margin for the right-image shift.
     r_vmem[:, 0:_M] = jnp.zeros((THH, _M), jnp.uint8)
     ad_scr[:, 0:_M] = jnp.zeros((THH, _M), jnp.int32)
     ad_scr[:, _M + W:] = jnp.zeros((THH, _M), jnp.int32)
-    cost_scr[:, _M + W:] = jnp.full((TH, _M), _BIG, jnp.int32)
 
     copy_l = pltpu.make_async_copy(
         l_hbm.at[b, pl.ds(i * TH, THH), :], l_vmem, sem.at[0])
@@ -110,35 +111,53 @@ def _bm_band_kernel(l_hbm, r_hbm, dl_ref, dr_ref,
     copy_l.wait()
     copy_r.wait()
 
+    # widen R once: int32 slices per d beat unaligned u8 slices, which
+    # Mosaic realigns through materialized copies
+    r32_scr[:] = r_vmem[:].astype(jnp.int32)
+
     L = l_vmem[:].astype(jnp.int32)          # [THH, W]
     col = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 1)
     col_full = jax.lax.broadcasted_iota(jnp.int32, (THH, W), 1)
+    padded = W_real < W   # trace-time: skip lane-pad masking when W is
+    # already a 128 multiple (the 640-wide production case)
 
     wl = _WTA((TH, W))
     wr = _WTA((TH, W))
 
-    for d in range(D):
-        Rs = r_vmem[:, _M - d:_M - d + W].astype(jnp.int32)   # [THH, W]
+    # Two disparities per pass, packed into the lo/hi int16 halves of one
+    # int32: a 5x5 box sum of 8-bit ADs is at most 255*25 < 2^15, so the
+    # halves cannot carry into each other. This halves the unaligned lane
+    # slices + adds of the box filter, the kernel's dominant cost.
+    for d0 in range(0, D, 2):
+        dual = d0 + 1 < D
+        ad = jnp.abs(L - r32_scr[:, _M - d0:_M - d0 + W])
+        if dual:
+            ad = ad + (jnp.abs(
+                L - r32_scr[:, _M - d0 - 1:_M - d0 - 1 + W]) << 16)
         # zero the AD over the lane-padding columns so the box filter sees
         # the same zero border as the unpadded jnp engine
-        ad_scr[:, _M:_M + W] = jnp.where(
-            col_full < W_real, jnp.abs(L - Rs), 0)
+        ad_scr[:, _M:_M + W] = \
+            jnp.where(col_full < W_real, ad, 0) if padded else ad
         adp = ad_scr[:]
         h = adp[:, _M - r:_M - r + W]
         for k in range(1, 2 * r + 1):
             h = h + adp[:, _M - r + k:_M - r + k + W]
-        cost = h[0:TH, :]
+        hv = h[0:TH, :]
         for k in range(1, 2 * r + 1):
-            cost = cost + h[k:k + TH, :]
-        # validity: u-d >= 0, and u < W_real (lane padding region invalid so
-        # the right-image shifted read sees BIG beyond the true width)
-        cost = jnp.where((col >= d) & (col < W_real), cost, _BIG)
-        wl.update(cost, d, D)
+            hv = hv + h[k:k + TH, :]
+        for d in range(d0, d0 + 2) if dual else (d0,):
+            cost = (hv & 0xFFFF) if d == d0 else (hv >> 16)
+            # validity: u-d >= 0, and u < W_real (lane padding is invalid)
+            valid = (col >= d) & (col < W_real) if padded else col >= d
+            if d > 0 or padded:
+                cost = jnp.where(valid, cost, _BIG)
+            wl.update(cost, d, D)
 
-        # right image: cost_R(u, d) = cost_L(u+d, d)
-        cost_scr[:, _M:_M + W] = cost
-        cost_r = cost_scr[:, _M + d:_M + d + W]
-        wr.update(cost_r, d, D)
+            # right image: cost_R(u, d) = cost_L(u+d, d) — a lane roll with
+            # the wrapped/out-of-range tail forced to BIG
+            cost_r = pltpu.roll(cost, W - d, 1) if d > 0 else cost
+            cost_r = jnp.where(col >= W_real - d, _BIG, cost_r)
+            wr.update(cost_r, d, D)
 
     dl = wl.finish(D, uniqueness)
     dr = wr.finish(D, uniqueness)
@@ -160,7 +179,7 @@ def _bm_band_kernel(l_hbm, r_hbm, dl_ref, dr_ref,
 @functools.partial(jax.jit, static_argnames=("params", "tile_h"))
 def bm_match_pallas(
     left_u8: jnp.ndarray, right_u8: jnp.ndarray,
-    params: BMParams = BMParams(), tile_h: int = 24,
+    params: BMParams = BMParams(), tile_h: int = 40,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Both WTA disparities [B, H, W] float32 (-1 invalid), one fused pass."""
     B, H, W = left_u8.shape
@@ -195,8 +214,8 @@ def bm_match_pallas(
         scratch_shapes=[
             pltpu.VMEM((TH + 2 * r, Wp), jnp.uint8),
             pltpu.VMEM((TH + 2 * r, _M + Wp), jnp.uint8),
+            pltpu.VMEM((TH + 2 * r, _M + Wp), jnp.int32),
             pltpu.VMEM((TH + 2 * r, _M + Wp + _M), jnp.int32),
-            pltpu.VMEM((TH, _M + Wp + _M), jnp.int32),
             pltpu.VMEM((TH, _M + Wp + _M), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
