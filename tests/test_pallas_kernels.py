@@ -47,6 +47,22 @@ def test_bm_pallas_batch_and_offsizes(interpret_pallas):
                                    atol=1e-5)
 
 
+def test_bm_pallas_odd_disp_num(interpret_pallas):
+    """Odd D exercises the single-disparity tail of the packed-pair loop."""
+    import jackal_tpu.ops.pallas.bm_kernel as bk
+    rng = np.random.default_rng(1)
+    l = (rng.random((1, 40, 160)) * 255).astype(np.uint8)
+    r = (rng.random((1, 40, 160)) * 255).astype(np.uint8)
+    prm = BMParams(disp_num=33)
+    dl_p, dr_p = bk.bm_match_pallas(jnp.asarray(l), jnp.asarray(r), prm)
+    dl_p = bm_texture_gate(jnp.asarray(l), dl_p, prm)
+    dl_j, dr_j = bm_match(jnp.asarray(l[0]), jnp.asarray(r[0]), prm)
+    np.testing.assert_allclose(np.asarray(dl_p)[0], np.asarray(dl_j),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dr_p)[0], np.asarray(dr_j),
+                               atol=1e-5)
+
+
 def test_elas_dense_pallas_matches_jnp(interpret_pallas):
     """Tiny-shape interpret-mode equivalence vs the jnp dense matcher."""
     import jax.numpy as jnp
