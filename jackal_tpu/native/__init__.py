@@ -7,6 +7,7 @@ a bare compiler.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -15,25 +16,43 @@ from typing import Optional
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "prior_engine.cpp")
 _SO = os.path.join(_DIR, "libjackal_prior.so")
+_HASH = _SO + ".srchash"
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 
 
-def _build() -> None:
+def _src_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _build(digest: str) -> None:
     subprocess.run(
-        ["g++", "-O2", "-march=native", "-ffp-contract=off", "-shared", "-fPIC", "-o", _SO, _SRC],
+        ["g++", "-O2", "-march=native", "-ffp-contract=off", "-shared",
+         "-fPIC", "-o", _SO, _SRC],
         check=True, capture_output=True)
+    with open(_HASH, "w") as f:
+        f.write(digest)
 
 
 def load() -> ctypes.CDLL:
-    """Build (if needed) and load the native prior engine."""
+    """Build (if needed) and load the native prior engine.
+
+    Staleness is decided by a source hash recorded at build time, never by
+    mtimes (git checkouts assign arbitrary mtimes) — a clone always rebuilds
+    on first import rather than loading a binary compiled on a foreign CPU
+    (-march=native artifacts are not portable)."""
     global _lib
     with _lock:
         if _lib is not None:
             return _lib
-        if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            _build()
+        digest = _src_hash()
+        built = None
+        if os.path.exists(_SO) and os.path.exists(_HASH):
+            with open(_HASH) as f:
+                built = f.read().strip()
+        if built != digest:
+            _build(digest)
         lib = ctypes.CDLL(_SO)
         c_i16p = ctypes.POINTER(ctypes.c_int16)
         c_i32p = ctypes.POINTER(ctypes.c_int32)

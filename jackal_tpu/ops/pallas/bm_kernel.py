@@ -35,22 +35,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...config import BMParams
 
-_BIG = 1 << 24   # python int: jnp scalars would be captured kernel constants
 _M = 128         # lane-dim margin: Mosaic needs 128-aligned DMA/store offsets
+
+
+def _big(D: int) -> int:
+    """Invalid-cost sentinel: larger than any real box-sum cost (255*25*2 <
+    2^24) but small enough that the WTA key sentinel*D + d stays well under
+    int32 overflow at the maximum D the kernel supports (mesh.py uses the
+    same clamp for its sharded WTA)."""
+    return min(1 << 24, ((1 << 30) // D) - 1)
 
 
 class _WTA:
     """Streaming winner-take-all state over the unrolled d loop."""
 
-    def __init__(self, shape):
-        self.best = jnp.full(shape, _BIG, jnp.int32)
-        self.cm = jnp.full(shape, _BIG, jnp.int32)
-        self.cp = jnp.full(shape, _BIG, jnp.int32)
+    def __init__(self, shape, big):
+        self.big = big
+        self.best = jnp.full(shape, big, jnp.int32)
+        self.cm = jnp.full(shape, big, jnp.int32)
+        self.cp = jnp.full(shape, big, jnp.int32)
         self.take_cp = jnp.zeros(shape, jnp.bool_)
-        self.t1 = jnp.full(shape, _BIG, jnp.int32)
-        self.t2 = jnp.full(shape, _BIG, jnp.int32)
-        self.t3 = jnp.full(shape, _BIG, jnp.int32)
-        self.prev = jnp.full(shape, _BIG, jnp.int32)
+        self.t1 = jnp.full(shape, big, jnp.int32)
+        self.t2 = jnp.full(shape, big, jnp.int32)
+        self.t3 = jnp.full(shape, big, jnp.int32)
+        self.prev = jnp.full(shape, big, jnp.int32)
 
     def update(self, cost, d, D):
         key = cost * D + d
@@ -84,7 +92,7 @@ class _WTA:
             (self.cm - self.cp).astype(jnp.float32)
             / (2.0 * den.astype(jnp.float32)),
             0.0)
-        return jnp.where(unique & (self.best < _BIG),
+        return jnp.where(unique & (self.best < self.big),
                          best_d.astype(jnp.float32) + offs, -1.0)
 
 
@@ -92,6 +100,7 @@ def _bm_band_kernel(l_hbm, r_hbm, dl_ref, dr_ref,
                     l_vmem, r_vmem, r32_scr, ad_scr, dr_scr, sem,
                     *, D, r, TH, W, W_real, uniqueness, lr_threshold):
     assert D <= _M
+    BIG = _big(D)
     b = pl.program_id(0)
     i = pl.program_id(1)
     THH = TH + 2 * r
@@ -121,8 +130,8 @@ def _bm_band_kernel(l_hbm, r_hbm, dl_ref, dr_ref,
     padded = W_real < W   # trace-time: skip lane-pad masking when W is
     # already a 128 multiple (the 640-wide production case)
 
-    wl = _WTA((TH, W))
-    wr = _WTA((TH, W))
+    wl = _WTA((TH, W), BIG)
+    wr = _WTA((TH, W), BIG)
 
     # Two disparities per pass, packed into the lo/hi int16 halves of one
     # int32: a 5x5 box sum of 8-bit ADs is at most 255*25 < 2^15, so the
@@ -150,13 +159,13 @@ def _bm_band_kernel(l_hbm, r_hbm, dl_ref, dr_ref,
             # validity: u-d >= 0, and u < W_real (lane padding is invalid)
             valid = (col >= d) & (col < W_real) if padded else col >= d
             if d > 0 or padded:
-                cost = jnp.where(valid, cost, _BIG)
+                cost = jnp.where(valid, cost, BIG)
             wl.update(cost, d, D)
 
             # right image: cost_R(u, d) = cost_L(u+d, d) — a lane roll with
             # the wrapped/out-of-range tail forced to BIG
             cost_r = pltpu.roll(cost, W - d, 1) if d > 0 else cost
-            cost_r = jnp.where(col >= W_real - d, _BIG, cost_r)
+            cost_r = jnp.where(col >= W_real - d, BIG, cost_r)
             wr.update(cost_r, d, D)
 
     dl = wl.finish(D, uniqueness)

@@ -77,12 +77,13 @@ class StreamingRunner:
         it = iter(stream)
         inflight = None  # (dmaps_dev, scans_dev, t_submit, n)
         done = 0
+        pending = 0  # frames dispatched to the device but not yet published
 
         def take_batch():
             lefts, rights = [], []
             for _ in range(self.B):
-                if max_frames is not None and done + len(lefts) + \
-                        (inflight[3] if inflight else 0) >= max_frames:
+                if max_frames is not None and \
+                        done + pending + len(lefts) >= max_frames:
                     break
                 try:
                     l, r = next(it)
@@ -105,6 +106,7 @@ class StreamingRunner:
             dmaps, scans = self.pipe.process_batch_fused(
                 jnp.asarray(lb), jnp.asarray(rb))
             submitted = (dmaps, scans, t0, n)
+            pending += n
             # overlap: assemble the next batch while the device works
             nxt = take_batch()
             if inflight is not None:
@@ -113,6 +115,7 @@ class StreamingRunner:
                 s_host = jax.tree_util.tree_map(np.asarray, s)
                 self._publish(d_host, s_host, time.time() - ts)
                 done += m
+                pending -= m
             inflight = submitted
         if inflight is not None:
             d, s, ts, m = inflight

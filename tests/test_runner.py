@@ -32,6 +32,26 @@ def test_streaming_runner_publishes_all_frames():
     assert [d.header.seq for d in depths] == list(range(7))
 
 
+def test_streaming_runner_max_frames_unbounded_stream():
+    """max_frames must be exact even when the stream never ends: the batch
+    dispatched but not yet published has to count against the limit."""
+    pipe = make_pipeline(None, "bm")
+    bus = TopicBus()
+    depths = []
+    bus.subscribe(TOPIC_DEPTH, depths.append)
+    runner = StreamingRunner(pipe, bus, batch_size=3)
+    rng = np.random.default_rng(1)
+
+    def unbounded():
+        while True:
+            yield ((rng.random((360, 640)) * 255).astype(np.uint8),
+                   (rng.random((360, 640)) * 255).astype(np.uint8))
+
+    done = runner.run(unbounded(), max_frames=4)
+    assert done == 4
+    assert len(depths) == 4
+
+
 def test_streaming_runner_rejects_elas():
     pipe = make_pipeline(None, "elas")
     with pytest.raises(ValueError):
