@@ -13,6 +13,7 @@ support quads.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
@@ -21,7 +22,7 @@ import numpy as np
 from ...config import ElasParams
 from ...ops.descriptor import create_descriptor
 from .support import support_candidates, collect_support_points
-from .prior import build_priors
+from .prior import build_priors, pack_prior_wire
 from .dense import dense_match
 from .post import left_right_consistency_check, post_tail, postprocess
 
@@ -35,6 +36,133 @@ try:
     _HAVE_NATIVE = _native_available()
 except Exception:  # pragma: no cover - toolchain-less environments
     _HAVE_NATIVE = False
+
+
+def _use_pallas() -> bool:
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# device segments of the batched path (each ONE jit dispatch)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class _Static:
+    """Hashable jit-static bundle."""
+    params: ElasParams
+    use_pallas: bool
+
+
+def _front(left_b, right_b, static: _Static):
+    """Descriptors + support candidate grid, one fused dispatch."""
+    import jax
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("st",))
+    def f(lb, rb, st):
+        p = st.params
+        d1 = jax.vmap(lambda x: create_descriptor(x, p.subsampling))(lb)
+        d2 = jax.vmap(lambda x: create_descriptor(x, p.subsampling))(rb)
+        if st.use_pallas:
+            from ...ops.pallas.support_kernel import support_candidates_pallas
+            dcan = support_candidates_pallas(d1, d2, p)
+        else:
+            dcan = jax.vmap(lambda a, b: support_candidates(a, b, p))(d1, d2)
+        return d1, d2, dcan
+
+    return f(left_b, right_b, static)
+
+
+def _packbits_dev(mask):
+    """[..., W] bool -> [..., W/8] uint8, little bit order (np.packbits
+    inverse on host). W must be padded to a multiple of 8 by the caller."""
+    import jax.numpy as jnp
+
+    W = mask.shape[-1]
+    m = mask.reshape(mask.shape[:-1] + (W // 8, 8)).astype(jnp.int32)
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
+    return (m * weights).sum(-1).astype(jnp.uint8)
+
+
+def _unpackbits_dev(packed, width):
+    """[..., Wb] uint8 -> [..., width] bool (little bit order)."""
+    import jax.numpy as jnp
+
+    bits = (packed[..., :, None].astype(jnp.int32)
+            >> jnp.arange(8, dtype=jnp.int32)) & 1
+    out = bits.reshape(packed.shape[:-1] + (packed.shape[-1] * 8,))
+    return out[..., :width].astype(bool)
+
+
+def _unpack_prior_wire(wire, gridp, D):
+    """Inverse of prior.pack_prior_wire, on device (fuses into the dense
+    kernel's prologue)."""
+    import jax.numpy as jnp
+
+    w = wire.astype(jnp.int32)
+    d_plane = ((w & 0x3FF) - 512).astype(jnp.int16)
+    valid = ((w >> 10) & 1).astype(bool)
+    covered = ((w >> 11) & 1).astype(bool)
+    grid = _unpackbits_dev(gridp, D)
+    return d_plane, valid, covered, grid
+
+
+def _dense_lr(d1, d2, wire1, grid1p, wire2, grid2p, static: _Static):
+    """Unpack priors -> dense match both sides -> L/R check -> BFS wire
+    encode (uint8 disparity + bitpacked invalid mask), one dispatch."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("st",))
+    def f(d1, d2, w1, g1, w2, g2, st):
+        p = st.params
+        D = p.disp_max + 1
+        m1 = _unpack_prior_wire(w1, g1, D)
+        m2 = _unpack_prior_wire(w2, g2, D)
+        if st.use_pallas and not p.subsampling:
+            from ...ops.pallas.elas_dense_kernel import elas_dense_pallas
+            D1 = elas_dense_pallas(d1, d2, *m1, p, False)
+            D2 = elas_dense_pallas(d1, d2, *m2, p, True)
+        else:
+            dm = jax.vmap(lambda a, b, dp, pv, cv, gm: dense_match(
+                a, b, dp, pv, cv, gm, p, False))
+            dm_r = jax.vmap(lambda a, b, dp, pv, cv, gm: dense_match(
+                a, b, dp, pv, cv, gm, p, True))
+            D1, D2 = dm(d1, d2, *m1), dm_r(d1, d2, *m2)
+        D1c, D2c = jax.vmap(
+            lambda a, b: left_right_consistency_check(a, b, p))(D1, D2)
+        W = D1c.shape[-1]
+        Wp = -(-W // 8) * 8
+
+        def enc(Dc):
+            u8 = jnp.clip(Dc, 0, 255).astype(jnp.uint8)
+            inv = jnp.pad(Dc < 0, ((0, 0), (0, 0), (0, Wp - W)))
+            return u8, _packbits_dev(inv)
+        enc2 = None if p.postprocess_only_left else enc(D2c)
+        return D1c, D2c, enc(D1c), enc2
+
+    return f(d1, d2, wire1, grid1p, wire2, grid2p, static)
+
+
+def _keep_tail(D1c, D2c, keep1p, keep2p, static: _Static):
+    """Apply the host BFS keep masks and run the device post tail."""
+    import jax
+    from functools import partial
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=("st",))
+    def f(D1c, D2c, k1, k2, st):
+        p = st.params
+        W = D1c.shape[-1]
+        D1b = jnp.where(_unpackbits_dev(k1, W), D1c, -10.0)
+        D2b = D2c if k2 is None else jnp.where(
+            _unpackbits_dev(k2, W), D2c, -10.0)
+        return jax.vmap(lambda a, b: post_tail(a, b, p))(D1b, D2b)
+
+    return f(D1c, D2c, keep1p, keep2p, static)
 
 
 def _dense_both(desc1_b, desc2_b, m1_args, m2_args, params):
@@ -123,7 +251,12 @@ def elas_match(
     desc1 = create_descriptor(left, params.subsampling)
     desc2 = create_descriptor(right, params.subsampling)
 
-    dcan = np.asarray(support_candidates(desc1, desc2, params))
+    if _use_pallas():
+        from ...ops.pallas.support_kernel import support_candidates_pallas
+        dcan = np.asarray(
+            support_candidates_pallas(desc1[None], desc2[None], params)[0])
+    else:
+        dcan = np.asarray(support_candidates(desc1, desc2, params))
     support, priors = _host_prior(
         dcan, params, W, H, tri_left, tri_right, use_native)
     if priors is None:
@@ -155,76 +288,139 @@ def elas_match(
     return np.asarray(D1), np.asarray(D2)
 
 
+def _prior_wire_job(dcan_b, params, W, H, use_native):
+    """Host prior for one frame -> packed wire arrays (thread-pool job; the
+    native engine releases the GIL during C calls). A frame with <3 support
+    points returns zero wire (covered=0 everywhere -> the dense matcher
+    emits all -10, the reference's bail-out semantics, elas.cpp:66-71)."""
+    gs = params.grid_size
+    gh, gw = -(-H // gs), -(-W // gs)
+    Db = params.disp_max + 1
+    _, priors = _host_prior(dcan_b, params, W, H, None, None, use_native)
+    if priors is None:
+        z = np.zeros((H, W), np.int16)
+        zg = np.zeros((gh, gw, Db // 8), np.uint8)
+        return z, zg, z.copy(), zg.copy()
+    m1, m2, g1, g2 = priors
+    w1, g1p = pack_prior_wire(m1, g1)
+    w2, g2p = pack_prior_wire(m2, g2)
+    return w1, g1p, w2, g2p
+
+
+def _bfs_keep_job(d_u8, invp, params):
+    """Host BFS speckle removal from the compact device wire: returns the
+    bitpacked keep mask (pixels surviving removeSmallSegments)."""
+    H, W = d_u8.shape
+    d = d_u8.astype(np.float32)
+    inv = np.unpackbits(invp, axis=-1, bitorder="little")[:, :W].astype(bool)
+    d[inv] = -10.0
+    out = remove_small_segments_native(d, params)
+    keep = out >= 0
+    Wp = -(-W // 8) * 8
+    keep = np.pad(keep, ((0, 0), (0, Wp - W)))
+    return np.packbits(keep, axis=-1, bitorder="little")
+
+
+def elas_match_batch_device(
+    left_b,
+    right_b,
+    params: ElasParams = ElasParams(),
+    use_native: Optional[bool] = None,
+    chunk: Optional[int] = None,
+):
+    """Batched ELAS returning DEVICE arrays [B, H, W] float32.
+
+    Software-pipelined around the two host stages (prior engine, BFS
+    speckle): device segments are single async dispatches per chunk, host
+    work runs on a thread pool, and the wire formats are bit-packed so the
+    host<->device traffic is ~1.5 MB/frame (the binding resource on
+    tunnel-attached TPUs). With `chunk` set (must divide B), the host prior
+    of chunk k+1 overlaps the dense matching of chunk k.
+    """
+    import jax
+    from concurrent.futures import ThreadPoolExecutor
+
+    if params.subsampling:
+        raise ValueError(
+            "batched path does not support subsampling; use elas_match")
+    if use_native is None:
+        use_native = _HAVE_NATIVE
+    left = jnp.asarray(left_b)
+    right = jnp.asarray(right_b)
+    B, H, W = left.shape
+    if chunk is None or chunk >= B:
+        chunk = B
+    if B % chunk:
+        raise ValueError(f"chunk {chunk} must divide batch {B}")
+    static = _Static(params, _use_pallas())
+
+    d1, d2, dcan_dev = _front(left, right, static)
+    dcan = np.asarray(dcan_dev)          # ~24 KB/frame download
+
+    n_workers = min(B, os.cpu_count() or 8)
+    with ThreadPoolExecutor(max_workers=n_workers) as pool:
+        prior_futs = [
+            pool.submit(_prior_wire_job, dcan[b], params, W, H, use_native)
+            for b in range(B)]
+
+        if not use_native:
+            # fallback: device postprocess (no host BFS round trip)
+            wires = [f.result() for f in prior_futs]
+            w1 = jnp.asarray(np.stack([w[0] for w in wires]))
+            g1 = jnp.asarray(np.stack([w[1] for w in wires]))
+            w2 = jnp.asarray(np.stack([w[2] for w in wires]))
+            g2 = jnp.asarray(np.stack([w[3] for w in wires]))
+            D = params.disp_max + 1
+            m1 = _unpack_prior_wire(w1, g1, D)
+            m2 = _unpack_prior_wire(w2, g2, D)
+            D1, D2 = _dense_both(d1, d2, m1, m2, params)
+            return jax.vmap(lambda a, b: postprocess(a, b, params))(D1, D2)
+
+        # chunked pipeline: upload + dense dispatch as priors complete
+        dense_out = []
+        for c0 in range(0, B, chunk):
+            wires = [prior_futs[b].result() for b in range(c0, c0 + chunk)]
+            w1 = jnp.asarray(np.stack([w[0] for w in wires]))
+            g1 = jnp.asarray(np.stack([w[1] for w in wires]))
+            w2 = jnp.asarray(np.stack([w[2] for w in wires]))
+            g2 = jnp.asarray(np.stack([w[3] for w in wires]))
+            sl = slice(c0, c0 + chunk)
+            dense_out.append(
+                _dense_lr(d1[sl], d2[sl], w1, g1, w2, g2, static))
+
+        # BFS keep masks per chunk (downloads block per chunk; later
+        # chunks' dense work is already queued on the device)
+        tails = []
+        for (D1c, D2c, enc1, enc2) in dense_out:
+            u8_1, inv1 = np.asarray(enc1[0]), np.asarray(enc1[1])
+            k1_futs = [pool.submit(_bfs_keep_job, u8_1[i], inv1[i], params)
+                       for i in range(chunk)]
+            if enc2 is not None:
+                u8_2, inv2 = np.asarray(enc2[0]), np.asarray(enc2[1])
+                k2_futs = [pool.submit(_bfs_keep_job, u8_2[i], inv2[i],
+                                       params)
+                           for i in range(chunk)]
+                k2 = jnp.asarray(np.stack([f.result() for f in k2_futs]))
+            else:
+                k2 = None
+            k1 = jnp.asarray(np.stack([f.result() for f in k1_futs]))
+            tails.append(_keep_tail(D1c, D2c, k1, k2, static))
+
+    D1 = jnp.concatenate([t[0] for t in tails]) if len(tails) > 1 \
+        else tails[0][0]
+    D2 = jnp.concatenate([t[1] for t in tails]) if len(tails) > 1 \
+        else tails[0][1]
+    return D1, D2
+
+
 def elas_match_batch(
     left_u8: np.ndarray,
     right_u8: np.ndarray,
     params: ElasParams = ElasParams(),
     use_native: Optional[bool] = None,
+    chunk: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Batched ELAS: [B, H, W] pairs -> [B, H, W] disparity maps.
-
-    Device stages run batched (one dispatch per stage for the whole batch);
-    the host prior engine loops frames (native C++: ~30 ms each at 640x480,
-    overlapped with nothing yet — future work: thread pool)."""
-    import jax
-
-    if use_native is None:
-        use_native = _HAVE_NATIVE
-    B, H, W = left_u8.shape
-    left = jnp.asarray(left_u8)
-    right = jnp.asarray(right_u8)
-
-    desc1 = jax.vmap(create_descriptor)(left)
-    desc2 = jax.vmap(create_descriptor)(right)
-    dcan_b = np.asarray(
-        jax.vmap(lambda a, b: support_candidates(a, b, params))(desc1, desc2))
-
-    d_plane1 = np.zeros((B, H, W), np.int16)
-    d_plane2 = np.zeros((B, H, W), np.int16)
-    valid1 = np.zeros((B, H, W), bool)
-    valid2 = np.zeros((B, H, W), bool)
-    cov1 = np.zeros((B, H, W), bool)
-    cov2 = np.zeros((B, H, W), bool)
-    gs = params.grid_size
-    gh, gw = -(-H // gs), -(-W // gs)
-    g1 = np.zeros((B, gh, gw, params.disp_num), bool)
-    g2 = np.zeros((B, gh, gw, params.disp_num), bool)
-    def one_frame(b):
-        _, priors = _host_prior(dcan_b[b], params, W, H, None, None,
-                                use_native)
-        if priors is None:
-            return
-        m1, m2, gg1, gg2 = priors
-        d_plane1[b], valid1[b], cov1[b] = m1.d_plane, m1.valid, m1.tri_id >= 0
-        d_plane2[b], valid2[b], cov2[b] = m2.d_plane, m2.valid, m2.tri_id >= 0
-        g1[b], g2[b] = gg1, gg2
-
-    # the native engine releases the GIL during C calls -> thread pool
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=min(B, 8)) as ex:
-        list(ex.map(one_frame, range(B)))
-
-    D1, D2 = _dense_both(
-        desc1, desc2,
-        (jnp.asarray(d_plane1), jnp.asarray(valid1), jnp.asarray(cov1),
-         jnp.asarray(g1)),
-        (jnp.asarray(d_plane2), jnp.asarray(valid2), jnp.asarray(cov2),
-         jnp.asarray(g2)),
-        params)
-    if use_native:
-        vlr = jax.vmap(
-            lambda a, b: left_right_consistency_check(a, b, params))
-        D1, D2 = vlr(D1, D2)
-        D1h = np.asarray(D1.astype(jnp.int16)).astype(np.float32)
-        D1 = jnp.asarray(np.stack([
-            remove_small_segments_native(D1h[b], params)
-            for b in range(B)]).astype(np.int16)).astype(jnp.float32)
-        if not params.postprocess_only_left:
-            D2h = np.asarray(D2.astype(jnp.int16)).astype(np.float32)
-            D2 = jnp.asarray(np.stack([
-                remove_small_segments_native(D2h[b], params)
-                for b in range(B)]).astype(np.int16)).astype(jnp.float32)
-        D1, D2 = jax.vmap(lambda a, b: post_tail(a, b, params))(D1, D2)
-    else:
-        D1, D2 = jax.vmap(lambda a, b: postprocess(a, b, params))(D1, D2)
+    """Batched ELAS: [B, H, W] pairs -> [B, H, W] disparity maps (host)."""
+    D1, D2 = elas_match_batch_device(
+        left_u8, right_u8, params, use_native, chunk)
     return np.asarray(D1), np.asarray(D2)

@@ -124,19 +124,11 @@ def aggregate_paths(cost: jnp.ndarray, params: SGMParams) -> jnp.ndarray:
     return jnp.moveaxis(S, -1, 0)               # [D, H, W]
 
 
-@partial(jax.jit, static_argnames=("params",))
-def sgm_match(
-    left_u8: jnp.ndarray, right_u8: jnp.ndarray,
-    params: SGMParams = SGMParams(),
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """SGM disparity. Returns (D_left, D_right) float32 [H, W]; invalid=-1."""
-    H, W = left_u8.shape
-    D = params.disp_num
-    cl = census5x5(left_u8)
-    cr = census5x5(right_u8)
-    cost = census_cost_volume(cl, cr, D)
-    S = aggregate_paths(cost, params)
-
+def _finalize(S: jnp.ndarray, params: SGMParams
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """WTA + uniqueness + sub-pixel + L/R consistency on the aggregated
+    volume S [D, H, W]. Shared by the jnp and Pallas engines."""
+    D, H, W = S.shape
     u = jnp.arange(W)
 
     def wta(vol):
@@ -176,6 +168,38 @@ def sgm_match(
     ok = (dL >= 0) & (other >= 0) & \
         (jnp.abs(other - dL) <= params.lr_threshold)
     return jnp.where(ok, dL, -1.0), dR
+
+
+@partial(jax.jit, static_argnames=("params",))
+def sgm_match(
+    left_u8: jnp.ndarray, right_u8: jnp.ndarray,
+    params: SGMParams = SGMParams(),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """SGM disparity. Returns (D_left, D_right) float32 [H, W]; invalid=-1."""
+    D = params.disp_num
+    cl = census5x5(left_u8)
+    cr = census5x5(right_u8)
+    cost = census_cost_volume(cl, cr, D)
+    S = aggregate_paths(cost, params)
+    return _finalize(S, params)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def sgm_match_pallas(
+    left_b: jnp.ndarray, right_b: jnp.ndarray,
+    params: SGMParams = SGMParams(),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched SGM [B, H, W] with the Pallas wavefront path aggregation
+    (ops/pallas/sgm_kernel.py): identical output to vmap(sgm_match), the
+    8 lax.scan DP passes replaced by 4 VMEM-resident row walks."""
+    from ..ops.pallas.sgm_kernel import aggregate_paths_pallas
+
+    D = params.disp_num
+    cl = jax.vmap(census5x5)(left_b)
+    cr = jax.vmap(census5x5)(right_b)
+    cost = jax.vmap(lambda a, b: census_cost_volume(a, b, D))(cl, cr)
+    S = aggregate_paths_pallas(cost, params)
+    return jax.vmap(lambda s: _finalize(s, params))(S)
 
 
 sgm_match_batch = jax.vmap(sgm_match, in_axes=(0, 0, None))

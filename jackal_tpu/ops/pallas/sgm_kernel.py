@@ -1,0 +1,147 @@
+"""Pallas kernel for SGM path aggregation (the 8-path DP wavefront).
+
+The jnp engine (matching/sgm.py) runs 8 sequential lax.scans, each step a
+handful of tiny XLA ops on one row — latency-bound (~7 fps at 1280x960/64).
+This kernel keeps the whole DP state in VMEM and walks rows inside ONE
+fori_loop per direction, fusing up to three paths (vertical + the two
+diagonals share a row order) per pass:
+
+  - cost volume layout [B, H, D, W]: each row step works on a [D, W] slab —
+    D on sublanes (min over d is a sublane reduction, d+/-1 neighbours are
+    static sublane shifts), W on lanes (diagonal carry shifts are lane
+    rolls);
+  - double-buffered row DMA in, double-buffered row DMA out;
+  - `reverse=True` walks rows bottom-up in place of flipping the 300 MB
+    volume in HBM;
+  - horizontal paths reuse the same kernel on a [B, W, D, H] transpose.
+
+Output is bit-identical to matching.sgm.aggregate_paths (same recurrence,
+same BIG clamps, same edge resets; reference semantics documented there).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1 << 24
+
+
+def _sgm_dir_kernel(cost_hbm, out_hbm, ibuf, obuf, isem, osem,
+                    *, H, D, W, W_real, p1, p2, shifts, reverse):
+    b = pl.program_id(0)
+    n_shift = len(shifts)
+    col = jax.lax.broadcasted_iota(jnp.int32, (D, W), 1)
+    padded = W_real < W
+
+    def row(i):
+        return H - 1 - i if reverse else i
+
+    def dma_in(slot, i):
+        return pltpu.make_async_copy(
+            cost_hbm.at[b, row(i)], ibuf.at[slot], isem.at[slot])
+
+    def dma_out(slot, i):
+        return pltpu.make_async_copy(
+            obuf.at[slot], out_hbm.at[b, row(i)], osem.at[slot])
+
+    dma_in(0, 0).start()
+    dma_in(0, 0).wait()
+    init = jnp.minimum(ibuf[0], _BIG)
+    if padded:
+        init = jnp.where(col < W_real, init, _BIG)
+    obuf[0] = init * n_shift
+    dma_out(0, 0).start()
+    dma_in(1, 1).start()
+
+    def step(i, carries):
+        slot = i % 2
+        dma_in(slot, i).wait()
+        c = ibuf[slot]
+
+        @pl.when(i + 1 < H)
+        def _():
+            dma_in((i + 1) % 2, i + 1).start()
+
+        total = jnp.zeros((D, W), jnp.int32)
+        new_carries = []
+        for p, s in enumerate(shifts):
+            prev = carries[p]
+            if s:
+                prev = pltpu.roll(prev, s if s > 0 else W + s, 1)
+                edge = 0 if s == 1 else W_real - 1
+                prev = jnp.where(col == edge, _BIG, prev)
+            m = jnp.min(prev, axis=0, keepdims=True)            # [1, W]
+            up = jnp.concatenate([prev[0:1] + _BIG, prev[0:D - 1]], axis=0)
+            dn = jnp.concatenate([prev[1:D], prev[D - 1:D] + _BIG], axis=0)
+            best = jnp.minimum(jnp.minimum(prev, m + p2),
+                               jnp.minimum(up + p1, dn + p1))
+            out = jnp.minimum(c + best - m, _BIG)
+            if padded:
+                out = jnp.where(col < W_real, out, _BIG)
+            new_carries.append(out)
+            total = total + out
+
+        # output slot reuse: the DMA issued 2 rows ago must have retired
+        @pl.when(i >= 2)
+        def _():
+            dma_out(slot, i - 2).wait()
+        obuf[slot] = total
+        dma_out(slot, i).start()
+        return tuple(new_carries)
+
+    carries = (init,) * n_shift
+    carries = jax.lax.fori_loop(1, H, step, carries)
+    dma_out((H - 2) % 2, H - 2).wait()
+    dma_out((H - 1) % 2, H - 1).wait()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("p1", "p2", "shifts", "reverse"))
+def sgm_paths_dir_pallas(cost_bhdw, p1, p2, shifts=(0,), reverse=False):
+    """Sum of the DP paths with the given carry shifts, scanning axis 1 of
+    [B, H, D, W] (downward, or upward with reverse=True). Returns the same
+    layout. Bit-identical to summing matching.sgm._path_scan per shift."""
+    B, H, D, W = cost_bhdw.shape
+    Wp = -(-W // 128) * 128
+    if Wp != W:
+        cost_bhdw = jnp.pad(cost_bhdw, ((0, 0), (0, 0), (0, 0), (0, Wp - W)),
+                            constant_values=_BIG)
+    kern = functools.partial(
+        _sgm_dir_kernel, H=H, D=D, W=Wp, W_real=W, p1=p1, p2=p2,
+        shifts=shifts, reverse=reverse)
+    out = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((B, H, D, Wp), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((2, D, Wp), jnp.int32),
+            pltpu.VMEM((2, D, Wp), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(cost_bhdw)
+    return out[..., :W] if Wp != W else out
+
+
+def aggregate_paths_pallas(cost_bdhw: jnp.ndarray, params) -> jnp.ndarray:
+    """8-path (or 4-path) SGM aggregation, Pallas wavefront engine.
+
+    cost_bdhw: [B, D, H, W] int32 -> S [B, D, H, W] int32, equal to
+    vmap(aggregate_paths). Vertical+diagonal paths fuse into one down pass
+    and one up pass; horizontal paths run on a [B, W, D, H] transpose."""
+    p1, p2 = params.p1, params.p2
+    c = jnp.moveaxis(cost_bdhw, 1, 2)            # [B, H, D, W]
+    shifts = (0, 1, -1) if params.num_paths >= 8 else (0,)
+    S = sgm_paths_dir_pallas(c, p1, p2, shifts, False)
+    S = S + sgm_paths_dir_pallas(c, p1, p2, shifts, True)
+    ct = jnp.transpose(c, (0, 3, 2, 1))          # [B, W, D, H]
+    Sh = sgm_paths_dir_pallas(ct, p1, p2, (0,), False)
+    Sh = Sh + sgm_paths_dir_pallas(ct, p1, p2, (0,), True)
+    S = S + jnp.transpose(Sh, (0, 3, 2, 1))
+    return jnp.moveaxis(S, 2, 1)                 # [B, D, H, W]

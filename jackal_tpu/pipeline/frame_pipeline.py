@@ -204,13 +204,17 @@ class StereoPipeline:
         return dmaps, scans
 
     def _match_batch(self, left_b, right_b):
-        """Batched disparity: Pallas kernel on TPU (BM), vmapped jnp else."""
+        """Batched disparity: Pallas kernels on TPU, vmapped jnp else."""
         if self.engine == "bm" and self.use_pallas:
             from ..matching.bm import bm_texture_gate
             from ..ops.pallas.bm_kernel import bm_match_pallas
             # kernel applies the L/R check in its epilogue
             dL, _ = bm_match_pallas(left_b, right_b, self.bm_params)
             dL = bm_texture_gate(left_b, dL, self.bm_params)
+            return jnp.clip(jnp.round(dL), 0, 255).astype(jnp.uint8)
+        if self.engine == "sgm" and self.use_pallas:
+            from ..matching.sgm import sgm_match_pallas
+            dL, _ = sgm_match_pallas(left_b, right_b, self.sgm_params)
             return jnp.clip(jnp.round(dL), 0, 255).astype(jnp.uint8)
         return jax.vmap(self._match_fused)(left_b, right_b)
 

@@ -134,6 +134,26 @@ def test_golden_middlebury_preset():
         assert rmse <= 0.05, rmse
 
 
+@pytest.mark.parametrize("use_native", [True, False])
+def test_batch_matches_per_frame(use_native):
+    """elas_match_batch (packed-wire pipelined path) == per-frame
+    elas_match, including a degenerate all-flat frame in the batch."""
+    from jackal_tpu.matching.elas.pipeline import (
+        _HAVE_NATIVE, elas_match, elas_match_batch)
+    if use_native and not _HAVE_NATIVE:
+        pytest.skip("native engine unavailable")
+    g = np.load(f"{FIX}/elas_golden_s320_flat.npz")
+    l0, r0 = g["left"][:96, :160], g["right"][:96, :160]
+    flat = np.full_like(l0, 100)
+    lb = np.stack([l0, flat])
+    rb = np.stack([r0, flat])
+    B1, B2 = elas_match_batch(lb, rb, use_native=use_native, chunk=1)
+    for b, (l, r) in enumerate([(l0, r0), (flat, flat)]):
+        D1, D2 = elas_match(l, r, use_native=use_native)
+        np.testing.assert_array_equal(B1[b], D1)
+        np.testing.assert_array_equal(B2[b], D2)
+
+
 def test_degenerate_inputs():
     """Flat textureless images -> no support points -> all invalid."""
     flat = np.full((60, 80), 100, np.uint8)

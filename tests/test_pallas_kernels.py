@@ -63,6 +63,64 @@ def test_bm_pallas_odd_disp_num(interpret_pallas):
                                atol=1e-5)
 
 
+def test_sgm_paths_pallas_matches_jnp(interpret_pallas):
+    """Wavefront DP kernel == the lax.scan path aggregation, all 8 paths."""
+    from jackal_tpu.config import SGMParams
+    from jackal_tpu.matching.sgm import (
+        aggregate_paths, census5x5, census_cost_volume)
+    from jackal_tpu.ops.pallas.sgm_kernel import aggregate_paths_pallas
+
+    rng = np.random.default_rng(2)
+    B, H, W, D = 2, 24, 130, 16   # W not a 128 multiple: exercises padding
+    prm = SGMParams(disp_num=D)
+    l = (rng.random((B, H, W)) * 255).astype(np.uint8)
+    r = (rng.random((B, H, W)) * 255).astype(np.uint8)
+    cl = jax.vmap(census5x5)(jnp.asarray(l))
+    cr = jax.vmap(census5x5)(jnp.asarray(r))
+    cost = jax.vmap(lambda a, b: census_cost_volume(a, b, D))(cl, cr)
+    ref = jax.vmap(lambda c: aggregate_paths(c, prm))(cost)
+    got = aggregate_paths_pallas(cost, prm)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_sgm_paths_pallas_four_paths(interpret_pallas):
+    from jackal_tpu.config import SGMParams
+    from jackal_tpu.matching.sgm import (
+        aggregate_paths, census5x5, census_cost_volume)
+    from jackal_tpu.ops.pallas.sgm_kernel import aggregate_paths_pallas
+
+    rng = np.random.default_rng(3)
+    prm = SGMParams(disp_num=16, num_paths=4)
+    l = (rng.random((1, 16, 128)) * 255).astype(np.uint8)
+    r = (rng.random((1, 16, 128)) * 255).astype(np.uint8)
+    cl = jax.vmap(census5x5)(jnp.asarray(l))
+    cr = jax.vmap(census5x5)(jnp.asarray(r))
+    cost = jax.vmap(lambda a, b: census_cost_volume(a, b, 16))(cl, cr)
+    ref = jax.vmap(lambda c: aggregate_paths(c, prm))(cost)
+    got = aggregate_paths_pallas(cost, prm)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_support_pallas_matches_jnp(interpret_pallas):
+    """Support-matching kernel == jnp support_candidates (tiny shapes)."""
+    from jackal_tpu.config import ElasParams
+    from jackal_tpu.matching.elas.support import support_candidates
+    from jackal_tpu.ops.descriptor import create_descriptor
+    from jackal_tpu.ops.pallas.support_kernel import support_candidates_pallas
+
+    rng = np.random.default_rng(4)
+    H, W = 60, 160
+    params = ElasParams(disp_max=47)
+    l = (rng.random((2, H, W)) * 255).astype(np.uint8)
+    r = np.stack([np.roll(l[0], 9, axis=1),
+                  (rng.random((H, W)) * 255).astype(np.uint8)])
+    d1 = jax.vmap(create_descriptor)(jnp.asarray(l))
+    d2 = jax.vmap(create_descriptor)(jnp.asarray(r))
+    ref = jax.vmap(lambda a, b: support_candidates(a, b, params))(d1, d2)
+    got = support_candidates_pallas(d1, d2, params)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_elas_dense_pallas_matches_jnp(interpret_pallas):
     """Tiny-shape interpret-mode equivalence vs the jnp dense matcher."""
     import jax.numpy as jnp
