@@ -25,6 +25,17 @@ try:
 except Exception:  # older jax without the knobs
     pass
 
+# Platform pin for subprocesses: some environments (this machine's axon
+# sitecustomize) force-register a TPU platform and clobber JAX_PLATFORMS,
+# so an env var honored at import time is the only reliable way to run the
+# CLIs on CPU from a parent process.
+_plat = _os.environ.get("JACKAL_TPU_PLATFORM")
+if _plat:
+    try:
+        _jax.config.update("jax_platforms", _plat)
+    except Exception:
+        pass
+
 from .calib import StereoCalibration, load_calibration  # noqa: F401
 from .config import (  # noqa: F401
     BMParams,

@@ -28,7 +28,54 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--waypoints", default=None,
                     help="waypoint file (count then x y pairs)")
     ap.add_argument("--ticks", type=int, default=20)
+    ap.add_argument("--bus", default=None, metavar="HOST:PORT",
+                    help="consume /webcam/left/obstacle_scan from a "
+                         "jackal-bus-broker; publish cmd_vel + Markers")
+    ap.add_argument("--bus-timeout", type=float, default=30.0,
+                    help="give up if no scan arrives for this long")
     return ap
+
+
+def _run_bus(args, nav, joy) -> int:
+    """Cross-process mode: scans in over the broker, Twist + Marker out —
+    the navigate node side of launch/stereo.launch's two-node composition."""
+    import time
+
+    from ..io_bus.bus import TopicBus
+    from ..io_bus.socket_bus import BusBridge
+
+    bus = TopicBus()
+    sub = bus.subscribe_queue("/webcam/left/obstacle_scan", maxlen=1)
+    vel_pub = bus.advertise("/jackal_velocity_controller/cmd_vel")
+    marker_pub = bus.advertise("/visualize_laser")   # navigate.cpp:438
+    bridge = BusBridge(
+        bus, args.bus,
+        publish_topics=("/jackal_velocity_controller/cmd_vel",
+                        "/visualize_laser"),
+        subscribe_topics=("/webcam/left/obstacle_scan",))
+    print(f"bridged to broker at {args.bus}", flush=True)
+
+    handled = 0
+    deadline = time.time() + args.bus_timeout
+    while handled < args.ticks and time.time() < deadline:
+        msg = sub.pop()
+        if msg is None:
+            time.sleep(0.005)
+            continue
+        nav.on_laser_scan(msg.ranges, msg.angle_min, msg.angle_max)
+        marker_pub.publish(nav.visualize_laser_points(handled))
+        tw = nav.drive(joy)
+        count, total, stat, closest, conf = nav.last_obstacle_stats
+        print(f"{count}, {total}, {stat}, {closest}, {conf}", flush=True)
+        if tw is not None:
+            vel_pub.publish(tw)
+            print(f"  cmd_vel: linear.x={tw.linear_x:.3f} "
+                  f"angular.z={tw.angular_z:.3f}", flush=True)
+        handled += 1
+        deadline = time.time() + args.bus_timeout
+    bridge.close()
+    print(f"handled {handled} scans", flush=True)
+    return 0 if handled else 1
 
 
 def main(argv=None) -> int:
@@ -43,6 +90,11 @@ def main(argv=None) -> int:
     nav = Navigator(p)
     if args.waypoints:
         nav.read_waypoints(args.waypoints)
+
+    joy_bus = JoyState(o=args.mode == "stop", x=args.mode == "avoid",
+                       triangle=args.mode == "auto", front=1.0)
+    if args.bus:
+        return _run_bus(args, nav, joy_bus)
 
     if args.scans:
         z = np.load(args.scans)

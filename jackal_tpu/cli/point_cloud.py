@@ -51,14 +51,21 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--trans", type=float, nargs=3, default=None,
                     metavar=("TX", "TY", "TZ"),
                     help="extrinsic translation for -m mode")
+    ap.add_argument("--reconfig", default=None, metavar="FILE",
+                    help="dynamic_reconfigure analogue: JSON file with "
+                         "{'phi': [x,y,z], 'trans': [x,y,z]} polled every "
+                         "frame while -m is set; edits apply live")
+    ap.add_argument("--bus", default=None, metavar="HOST:PORT",
+                    help="connect to a jackal-bus-broker and publish the "
+                         "depth/scan/time topics cross-process")
+    ap.add_argument("--delay", type=float, default=0.0,
+                    help="seconds to sleep between frames (replay pacing)")
     return ap
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from ..config import PipelineParams, ExtrinsicCalibParams
-    from ..geometry.reproject import (
-        compose_rotation_cam_to_robot, compose_translation_cam_to_robot)
     from ..io_bus.bus import TopicBus
     from ..io_bus.messages import Header, Image, JackalTimeLog, LaserScan
     from ..io_bus.replay import StereoReplaySource, synthetic_stream
@@ -73,17 +80,34 @@ def main(argv=None) -> int:
 
     pipe = make_pipeline(args.calib_file, args.engine, pp)
 
+    reconfig_state = {"mtime": None}
+
+    def poll_reconfig():
+        """Per-frame dynamic_reconfigure poll (point_cloud.cpp:305-311,
+        492-495): while -m is set, re-read PHI/TRANS and recompose XR/XT
+        (and the valid-disparity cache) whenever the file changes."""
+        import json
+        import os
+        try:
+            mtime = os.path.getmtime(args.reconfig)
+        except OSError:
+            return
+        if mtime == reconfig_state["mtime"]:
+            return
+        reconfig_state["mtime"] = mtime
+        with open(args.reconfig) as f:
+            cfg = json.load(f)
+        pipe.update_extrinsics(cfg["phi"], cfg["trans"])
+        print(f"Rotation matrix: {np.asarray(pipe.XR32)}")
+        print(f"Translation matrix: {np.asarray(pipe.XT32)}")
+
     if args.calib_extrinsic:
         ext = ExtrinsicCalibParams()
         phi = args.phi or [ext.phi_x, ext.phi_y, ext.phi_z]
         trans = args.trans or [ext.trans_x, ext.trans_y, ext.trans_z]
-        XR = compose_rotation_cam_to_robot(*phi)
-        XT = compose_translation_cam_to_robot(*trans)
-        print(f"Rotation matrix: {XR}")
-        print(f"Translation matrix: {XT}")
-        import jax.numpy as jnp
-        pipe.XR32 = jnp.asarray(XR, jnp.float32)
-        pipe.XT32 = jnp.asarray(XT, jnp.float32)
+        pipe.update_extrinsics(phi, trans)
+        print(f"Rotation matrix: {np.asarray(pipe.XR32)}")
+        print(f"Translation matrix: {np.asarray(pipe.XT32)}")
 
     if args.source == "synthetic":
         stream = synthetic_stream(args.frames, 360, 640)
@@ -95,6 +119,16 @@ def main(argv=None) -> int:
     disp_pub = bus.advertise("/webcam/left/depth_map")
     scan_pub = bus.advertise("/webcam/left/obstacle_scan")
     tl_pub = bus.advertise("/jackal/time_log")
+    bus.advertise("/visualization_marker")   # parity: point_cloud.cpp:524
+    bridge = None
+    if args.bus:
+        from ..io_bus.socket_bus import BusBridge
+        bridge = BusBridge(
+            bus, args.bus,
+            publish_topics=("/webcam/left/depth_map",
+                            "/webcam/left/obstacle_scan",
+                            "/jackal/time_log"))
+        print(f"bridged to broker at {args.bus}", flush=True)
     writer = TimeLogWriter(args.dmap_file, args.pcl_file, args.scan_file)
 
     dmaps, scans = [], []
@@ -102,6 +136,11 @@ def main(argv=None) -> int:
     for i, (left, right) in enumerate(stream):
         if i >= args.frames:
             break
+        if args.delay:
+            import time
+            time.sleep(args.delay)
+        if args.calib_extrinsic and args.reconfig:
+            poll_reconfig()
         fr = pipe.process_frame(left, right, timing=args.logging)
         disp_pub.publish(Image(Header.now(seq, "jackal"),
                                *fr.dmap.shape, "mono8", fr.dmap))
@@ -126,6 +165,10 @@ def main(argv=None) -> int:
         scans.append(np.asarray(fr.scan.scan))
         seq += 1
     writer.close()
+    if bridge is not None:
+        import time
+        time.sleep(0.2)   # let the last frames drain to the broker
+        bridge.close()
     if args.out:
         np.savez_compressed(args.out, dmaps=np.stack(dmaps),
                             scans=np.stack(scans))

@@ -58,21 +58,22 @@ class _Static:
 def _front(left_b, right_b, static: _Static):
     """Descriptors + support candidate grid, one fused dispatch."""
     import jax
-    from functools import partial
 
-    @partial(jax.jit, static_argnames=("st",))
-    def f(lb, rb, st):
-        p = st.params
-        d1 = jax.vmap(lambda x: create_descriptor(x, p.subsampling))(lb)
-        d2 = jax.vmap(lambda x: create_descriptor(x, p.subsampling))(rb)
-        if st.use_pallas:
-            from ...ops.pallas.support_kernel import support_candidates_pallas
-            dcan = support_candidates_pallas(d1, d2, p)
-        else:
-            dcan = jax.vmap(lambda a, b: support_candidates(a, b, p))(d1, d2)
-        return d1, d2, dcan
+    return _front_jit(left_b, right_b, static)
 
-    return f(left_b, right_b, static)
+
+def _front_impl(lb, rb, st: _Static):
+    import jax
+
+    p = st.params
+    d1 = jax.vmap(lambda x: create_descriptor(x, p.subsampling))(lb)
+    d2 = jax.vmap(lambda x: create_descriptor(x, p.subsampling))(rb)
+    if st.use_pallas:
+        from ...ops.pallas.support_kernel import support_candidates_pallas
+        dcan = support_candidates_pallas(d1, d2, p)
+    else:
+        dcan = jax.vmap(lambda a, b: support_candidates(a, b, p))(d1, d2)
+    return d1, d2, dcan
 
 
 def _packbits_dev(mask):
@@ -109,60 +110,64 @@ def _unpack_prior_wire(wire, gridp, D):
     return d_plane, valid, covered, grid
 
 
-def _dense_lr(d1, d2, wire1, grid1p, wire2, grid2p, static: _Static):
+def _dense_lr_impl(d1, d2, w1, g1, w2, g2, st: _Static):
     """Unpack priors -> dense match both sides -> L/R check -> BFS wire
     encode (uint8 disparity + bitpacked invalid mask), one dispatch."""
     import jax
-    import jax.numpy as jnp
-    from functools import partial
 
-    @partial(jax.jit, static_argnames=("st",))
-    def f(d1, d2, w1, g1, w2, g2, st):
-        p = st.params
-        D = p.disp_max + 1
-        m1 = _unpack_prior_wire(w1, g1, D)
-        m2 = _unpack_prior_wire(w2, g2, D)
-        if st.use_pallas and not p.subsampling:
-            from ...ops.pallas.elas_dense_kernel import elas_dense_pallas
-            D1 = elas_dense_pallas(d1, d2, *m1, p, False)
-            D2 = elas_dense_pallas(d1, d2, *m2, p, True)
-        else:
-            dm = jax.vmap(lambda a, b, dp, pv, cv, gm: dense_match(
-                a, b, dp, pv, cv, gm, p, False))
-            dm_r = jax.vmap(lambda a, b, dp, pv, cv, gm: dense_match(
-                a, b, dp, pv, cv, gm, p, True))
-            D1, D2 = dm(d1, d2, *m1), dm_r(d1, d2, *m2)
-        D1c, D2c = jax.vmap(
-            lambda a, b: left_right_consistency_check(a, b, p))(D1, D2)
-        W = D1c.shape[-1]
-        Wp = -(-W // 8) * 8
+    p = st.params
+    D = p.disp_max + 1
+    m1 = _unpack_prior_wire(w1, g1, D)
+    m2 = _unpack_prior_wire(w2, g2, D)
+    if st.use_pallas and not p.subsampling:
+        from ...ops.pallas.elas_dense_kernel import elas_dense_pallas
+        D1 = elas_dense_pallas(d1, d2, *m1, p, False)
+        D2 = elas_dense_pallas(d1, d2, *m2, p, True)
+    else:
+        dm = jax.vmap(lambda a, b, dp, pv, cv, gm: dense_match(
+            a, b, dp, pv, cv, gm, p, False))
+        dm_r = jax.vmap(lambda a, b, dp, pv, cv, gm: dense_match(
+            a, b, dp, pv, cv, gm, p, True))
+        D1, D2 = dm(d1, d2, *m1), dm_r(d1, d2, *m2)
+    D1c, D2c = jax.vmap(
+        lambda a, b: left_right_consistency_check(a, b, p))(D1, D2)
+    W = D1c.shape[-1]
+    Wp = -(-W // 8) * 8
 
-        def enc(Dc):
-            u8 = jnp.clip(Dc, 0, 255).astype(jnp.uint8)
-            inv = jnp.pad(Dc < 0, ((0, 0), (0, 0), (0, Wp - W)))
-            return u8, _packbits_dev(inv)
-        enc2 = None if p.postprocess_only_left else enc(D2c)
-        return D1c, D2c, enc(D1c), enc2
-
-    return f(d1, d2, wire1, grid1p, wire2, grid2p, static)
+    def enc(Dc):
+        u8 = jnp.clip(Dc, 0, 255).astype(jnp.uint8)
+        inv = jnp.pad(Dc < 0, ((0, 0), (0, 0), (0, Wp - W)))
+        return u8, _packbits_dev(inv)
+    enc2 = None if p.postprocess_only_left else enc(D2c)
+    return D1c, D2c, enc(D1c), enc2
 
 
-def _keep_tail(D1c, D2c, keep1p, keep2p, static: _Static):
+def _keep_tail_impl(D1c, D2c, k1, k2, st: _Static):
     """Apply the host BFS keep masks and run the device post tail."""
     import jax
+
+    p = st.params
+    W = D1c.shape[-1]
+    D1b = jnp.where(_unpackbits_dev(k1, W), D1c, -10.0)
+    D2b = D2c if k2 is None else jnp.where(
+        _unpackbits_dev(k2, W), D2c, -10.0)
+    return jax.vmap(lambda a, b: post_tail(a, b, p))(D1b, D2b)
+
+
+def _make_jits():
+    """Module-level jit wrappers (ONE cache for the process — defining the
+    jit inside the calling function would retrace the full Pallas program
+    on every batch)."""
+    import jax
     from functools import partial
-    import jax.numpy as jnp
 
-    @partial(jax.jit, static_argnames=("st",))
-    def f(D1c, D2c, k1, k2, st):
-        p = st.params
-        W = D1c.shape[-1]
-        D1b = jnp.where(_unpackbits_dev(k1, W), D1c, -10.0)
-        D2b = D2c if k2 is None else jnp.where(
-            _unpackbits_dev(k2, W), D2c, -10.0)
-        return jax.vmap(lambda a, b: post_tail(a, b, p))(D1b, D2b)
+    front = partial(jax.jit, static_argnames=("st",))(_front_impl)
+    dense = partial(jax.jit, static_argnames=("st",))(_dense_lr_impl)
+    tail = partial(jax.jit, static_argnames=("st",))(_keep_tail_impl)
+    return front, dense, tail
 
-    return f(D1c, D2c, keep1p, keep2p, static)
+
+_front_jit, _dense_lr, _keep_tail = _make_jits()
 
 
 def _dense_both(desc1_b, desc2_b, m1_args, m2_args, params):

@@ -91,6 +91,24 @@ class Navigator:
             self.laser_points.append(
                 (ranges[i] * math.cos(ang), ranges[i] * math.sin(ang)))
 
+    # ---- laser-point Marker visualization (navigate.cpp:78-99) ----
+    def visualize_laser_points(self, seq: int = 0):
+        """Marker POINTS message of the current laser points (z=0, blue,
+        0.02 scale, ns jackal_navigation), published by the reference on
+        the 'visualize_laser' topic each scan (navigate.cpp:362,438)."""
+        from ..io_bus.messages import Header, Marker, Point32
+
+        return Marker(
+            header=Header.now(seq, "jackal"),
+            ns="jackal_navigation",
+            id=0,
+            type=8,      # POINTS
+            action=0,    # ADD
+            points=[Point32(x, y, 0.0) for (x, y) in self.laser_points],
+            scale_x=0.02,
+            color_rgba=(0.0, 0.0, 1.0, 1.0),
+        )
+
     # ---- obstacle detection (navigate.cpp:101-153) ----
     def check_obstacle(self) -> int:
         p = self.p

@@ -107,6 +107,29 @@ class StereoPipeline:
         else:
             self.valid_disp = None
 
+    def update_extrinsics(self, phi_xyz, trans_xyz) -> None:
+        """Live camera->robot recalibration (dynamic_reconfigure analogue).
+
+        The reference recomposes XR/XT from the PHI_*/TRANS_* sliders every
+        frame while -m is set (paramsCallback point_cloud.cpp:492-495,
+        applied at 305-311). Recomputes the rotation, translation and the
+        valid-disparity cache; jitted stages pick the new device constants
+        up on the next call (they are instance attributes, and the methods
+        re-trace per `self`; same-shape updates reuse the compiled code via
+        donated-constant closure... we simply re-upload the small arrays)."""
+        from ..geometry.reproject import (
+            compose_rotation_cam_to_robot, compose_translation_cam_to_robot)
+
+        XR = compose_rotation_cam_to_robot(*phi_xyz)
+        XT = compose_translation_cam_to_robot(*trans_xyz)
+        self.XR32 = jnp.asarray(XR, jnp.float32)
+        self.XT32 = jnp.asarray(XT, jnp.float32)
+        if not self.p.gen_pcl:
+            self.valid_disp = jnp.asarray(cache_disparity_values(
+                self.rect.Q, XR, XT, self.p.crop_im_width,
+                self.p.crop_im_height, self.p.crop_offset_x,
+                self.p.crop_offset_y, self.gp, self.sp))
+
     # ---- device stages -------------------------------------------------
     @partial(jax.jit, static_argnames=("self",))
     def _rectify_crop(self, left_raw, right_raw):
@@ -127,10 +150,17 @@ class StereoPipeline:
         return jnp.clip(jnp.round(dL), 0, 255).astype(jnp.uint8)
 
     @partial(jax.jit, static_argnames=("self",))
-    def _scan_stage(self, dmap_u8):
+    def _scan_stage_jit(self, dmap_u8, valid_disp, Q32, XR32, XT32):
+        # extrinsic-dependent arrays are ARGUMENTS, not closure captures:
+        # a jit with static self would bake the trace-time XR/XT/cache in
+        # forever, silently ignoring update_extrinsics (-m mode)
         return obstacle_scan_from_disparity(
-            dmap_u8, self.valid_disp, self.Q32, self.XR32, self.XT32,
+            dmap_u8, valid_disp, Q32, XR32, XT32,
             self.sp, self.p.crop_offset_x, self.p.crop_offset_y)
+
+    def _scan_stage(self, dmap_u8):
+        return self._scan_stage_jit(dmap_u8, self.valid_disp, self.Q32,
+                                    self.XR32, self.XT32)
 
     # ---- per-frame host path (imageCallbackLeft equivalent) ------------
     def process_frame(
@@ -182,7 +212,6 @@ class StereoPipeline:
             dmap_time=t1 - t0, pcl_time=pcl_time, scan_time=t3 - t2)
 
     # ---- batched fused path (throughput mode) ---------------------------
-    @partial(jax.jit, static_argnames=("self",))
     def process_batch_fused(self, left_raw_b, right_raw_b):
         """Fully fused batched step (BM/SGM engines): raw stereo batch in,
         (dmap_u8 batch, scan batch) out. One XLA program; this is the
@@ -190,6 +219,13 @@ class StereoPipeline:
 
         The remap runs batch-as-vector-dim (shared maps, one gather); the
         matchers and scan stage are gather-free and vmap cleanly."""
+        return self._process_batch_fused_jit(
+            left_raw_b, right_raw_b, self.valid_disp, self.Q32, self.XR32,
+            self.XT32)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _process_batch_fused_jit(self, left_raw_b, right_raw_b,
+                                 valid_disp, Q32, XR32, XT32):
         if self.engine == "elas":
             raise ValueError("fused batch path requires engine='bm'|'sgm'")
         p = self.p
@@ -200,8 +236,84 @@ class StereoPipeline:
               slice(p.crop_offset_x, p.crop_offset_x + p.crop_im_width))
         left_b, right_b = left_b[sl], right_b[sl]
         dmaps = self._match_batch(left_b, right_b)
+        scans = jax.vmap(lambda dm: self._scan_stage_jit(
+            dm, valid_disp, Q32, XR32, XT32))(dmaps)
+        return dmaps, scans
+
+    def process_batch_fused_pcl(self, left_raw_b, right_raw_b,
+                                color_bgr_b=None):
+        """Fused batched gen-pcl step (BM/SGM): raw stereo batch in ->
+        (dmap_u8 batch, cloud batch, scan batch), one XLA program.
+
+        The full reference path rect -> disparity -> CLOUD -> scan
+        (point_cloud.cpp:298-404): every pixel with d >= 2 becomes a
+        robot-frame point with packed RGB, and the scan is built from the
+        points with scan-time ground-plane rejection — unlike
+        process_batch_fused's valid-disparity-cache shortcut."""
+        return self._process_batch_fused_pcl_jit(
+            left_raw_b, right_raw_b, color_bgr_b, self.Q32, self.XR32,
+            self.XT32)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _process_batch_fused_pcl_jit(self, left_raw_b, right_raw_b,
+                                     color_bgr_b, Q32, XR32, XT32):
+        if self.engine == "elas":
+            raise ValueError("fused batch path requires engine='bm'|'sgm'")
+        p = self.p
+        left_b = remap_bilinear_batch(left_raw_b, *self.lmap)
+        right_b = remap_bilinear_batch(right_raw_b, *self.rmap)
+        sl = (slice(None),
+              slice(p.crop_offset_y, p.crop_offset_y + p.crop_im_height),
+              slice(p.crop_offset_x, p.crop_offset_x + p.crop_im_width))
+        left_b, right_b = left_b[sl], right_b[sl]
+        dmaps = self._match_batch(left_b, right_b)
+
+        def one(dm, col):
+            return point_cloud_from_disparity(
+                dm, col, Q32, XR32, XT32, self.sp,
+                self.p.crop_offset_x, self.p.crop_offset_y)
+
+        if color_bgr_b is None:
+            pts, rgb, valid = jax.vmap(lambda dm: one(dm, None))(dmaps)
+        else:
+            pts, rgb, valid = jax.vmap(one)(dmaps, color_bgr_b)
+        from ..scan.obstacle import obstacle_scan_from_points
+        scans = jax.vmap(
+            lambda pp, vv: obstacle_scan_from_points(pp, vv, self.sp,
+                                                     self.gp))(pts, valid)
+        return dmaps, (pts, rgb, valid), scans
+
+    def process_batch(self, left_raw_b, right_raw_b):
+        """Engine-agnostic batched step: (dmap_u8 batch, scan batch), device
+        arrays. BM/SGM use the single-jit fused path; ELAS runs its
+        software-pipelined batch (matching/elas/pipeline.py) between the
+        rectify and scan jits."""
+        if self.engine != "elas":
+            return self.process_batch_fused(left_raw_b, right_raw_b)
+        from ..matching.elas.pipeline import elas_match_batch_device
+        left_b, right_b = self._rectify_crop_batch(
+            jnp.asarray(left_raw_b), jnp.asarray(right_raw_b))
+        B = left_b.shape[0]
+        chunk = max(c for c in (1, 2, 4, 8) if B % c == 0 and c <= B)
+        D1, _ = elas_match_batch_device(
+            left_b, right_b, self.elas_params, chunk=chunk)
+        dmaps = self._dmap_u8(D1)
         scans = jax.vmap(self._scan_stage)(dmaps)
         return dmaps, scans
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _rectify_crop_batch(self, left_raw_b, right_raw_b):
+        p = self.p
+        left_b = remap_bilinear_batch(left_raw_b, *self.lmap)
+        right_b = remap_bilinear_batch(right_raw_b, *self.rmap)
+        sl = (slice(None),
+              slice(p.crop_offset_y, p.crop_offset_y + p.crop_im_height),
+              slice(p.crop_offset_x, p.crop_offset_x + p.crop_im_width))
+        return left_b[sl], right_b[sl]
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _dmap_u8(self, D1):
+        return jnp.clip(jnp.round(D1), 0, 255).astype(jnp.uint8)
 
     def _match_batch(self, left_b, right_b):
         """Batched disparity: Pallas kernels on TPU, vmapped jnp else."""

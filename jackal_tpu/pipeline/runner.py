@@ -29,27 +29,63 @@ TOPIC_TIMELOG = "/jackal/time_log"
 
 class StreamingRunner:
     """Batches a stereo frame stream through the fused pipeline with
-    double buffering, publishing per-frame results on the topic bus."""
+    double buffering, publishing per-frame results on the topic bus.
+
+    Per-stage timing: throughput batches run the single fused dispatch, so
+    stage boundaries are invisible; every `stage_sample_every`-th batch runs
+    the STAGED path (separate dispatches with device syncs) and its measured
+    dmap/scan split is logged per frame. Unsampled batches log nothing —
+    the -d/-s time files contain only real measurements (the round-1
+    behavior of logging scan=0.0 and an averaged dmap was fabricated data).
+    """
 
     def __init__(self, pipeline: StereoPipeline, bus: Optional[TopicBus] = None,
                  batch_size: int = 8,
-                 timelog: Optional[TimeLogWriter] = None):
-        if pipeline.engine == "elas":
-            raise ValueError(
-                "StreamingRunner uses the fused batch path (bm/sgm); "
-                "drive ELAS via elas_match_batch")
+                 timelog: Optional[TimeLogWriter] = None,
+                 stage_sample_every: int = 8):
         self.pipe = pipeline
         self.bus = bus or TopicBus()
         self.B = batch_size
         self.timelog = timelog
+        self.stage_sample_every = max(stage_sample_every, 1)
         self.depth_pub = self.bus.advertise(TOPIC_DEPTH)
         self.scan_pub = self.bus.advertise(TOPIC_SCAN)
         self.tl_pub = self.bus.advertise(TOPIC_TIMELOG)
         self.seq = 0
+        self.batch_no = 0
 
-    def _publish(self, dmaps: np.ndarray, scans, batch_secs: float) -> None:
+    def _run_staged(self, lb, rb):
+        """Separate stage dispatches with syncs: real per-stage times."""
+
+        def sync(x):
+            jax.block_until_ready(x)
+            # the experimental axon platform does not reliably block;
+            # force completion with a value fetch
+            float(jnp.asarray(x).astype(jnp.float32).sum())
+
+        left_b, right_b = self.pipe._rectify_crop_batch(lb, rb)
+        sync(left_b)
+        t0 = time.time()
+        if self.pipe.engine == "elas":
+            from ..matching.elas.pipeline import elas_match_batch_device
+            B = left_b.shape[0]
+            chunk = max(c for c in (1, 2, 4, 8) if B % c == 0 and c <= B)
+            D1, _ = elas_match_batch_device(
+                left_b, right_b, self.pipe.elas_params, chunk=chunk)
+            dmaps = self.pipe._dmap_u8(D1)
+        else:
+            dmaps = self.pipe._match_batch(left_b, right_b)
+        sync(dmaps)
+        t1 = time.time()
+        scans = jax.vmap(self.pipe._scan_stage)(dmaps)
+        sync(scans.scan)
+        t2 = time.time()
+        n = left_b.shape[0]
+        return dmaps, scans, ((t1 - t0) / n, (t2 - t1) / n)
+
+    def _publish(self, dmaps: np.ndarray, scans,
+                 stage_times=None) -> None:
         n = len(dmaps)
-        per_frame = batch_secs / max(n, 1)
         for i in range(n):
             hdr = Header.now(self.seq, "jackal")
             self.depth_pub.publish(
@@ -61,10 +97,13 @@ class StreamingRunner:
                 3.1415 / 180.0, 0.1, 0.001,
                 float(scans.range_min[i]), float(scans.range_max[i]),
                 ranges.tolist()))
-            if self.timelog is not None:
-                self.timelog.log("dmap", per_frame)
-                self.timelog.log("scan", 0.0)
-                self.tl_pub.publish(JackalTimeLog(hdr, 0.0, 0.0, per_frame))
+            if stage_times is not None:
+                dmap_t, scan_t = stage_times
+                if self.timelog is not None:
+                    self.timelog.log("dmap", dmap_t)
+                    self.timelog.log("scan", scan_t)
+                self.tl_pub.publish(
+                    JackalTimeLog(hdr, 0.0, scan_t, dmap_t))
             self.seq += 1
 
     def run(self, stream: Iterable[Tuple[np.ndarray, np.ndarray]],
@@ -102,25 +141,30 @@ class StreamingRunner:
         nxt = take_batch()
         while nxt is not None:
             lb, rb, n = nxt
-            t0 = time.time()
-            dmaps, scans = self.pipe.process_batch_fused(
-                jnp.asarray(lb), jnp.asarray(rb))
-            submitted = (dmaps, scans, t0, n)
+            sampled = (self.batch_no % self.stage_sample_every == 0)
+            self.batch_no += 1
+            if sampled:
+                dmaps, scans, stage_times = self._run_staged(
+                    jnp.asarray(lb), jnp.asarray(rb))
+            else:
+                dmaps, scans = self.pipe.process_batch(
+                    jnp.asarray(lb), jnp.asarray(rb))
+                stage_times = None
+            submitted = (dmaps, scans, stage_times, n)
             pending += n
             # overlap: assemble the next batch while the device works
             nxt = take_batch()
             if inflight is not None:
-                d, s, ts, m = inflight
+                d, s, st, m = inflight
                 d_host = np.asarray(d)[:m]
                 s_host = jax.tree_util.tree_map(np.asarray, s)
-                self._publish(d_host, s_host, time.time() - ts)
+                self._publish(d_host, s_host, st)
                 done += m
                 pending -= m
             inflight = submitted
         if inflight is not None:
-            d, s, ts, m = inflight
+            d, s, st, m = inflight
             self._publish(np.asarray(d)[:m],
-                          jax.tree_util.tree_map(np.asarray, s),
-                          time.time() - ts)
+                          jax.tree_util.tree_map(np.asarray, s), st)
             done += m
         return done

@@ -103,6 +103,45 @@ def test_pipeline_elas_engine_on_fixture():
     assert np.asarray(res.scan).shape == (90,)
 
 
+def test_live_extrinsic_update_changes_scan():
+    """update_extrinsics (dynamic_reconfigure analogue) must take effect on
+    the already-jitted scan stage: recomposed XR/XT + refreshed valid-disp
+    cache change the scan output mid-run (point_cloud.cpp:305-311)."""
+    pipe = make_pipeline(None, "bm")
+    rng = np.random.default_rng(7)
+    lraw = (rng.random((360, 640)) * 255).astype(np.uint8)
+    rraw = np.roll(lraw, 5, axis=1)
+    fr1 = pipe.process_frame(lraw, rraw)
+    fb1, _ = pipe.process_batch_fused(lraw[None], rraw[None])
+    # tilt the camera->robot rotation hard: scans must differ
+    pipe.update_extrinsics((0.6, -2.5, 1.0), (0.0, 0.0, 0.5))
+    fr2 = pipe.process_frame(lraw, rraw)
+    _, sc2 = pipe.process_batch_fused(lraw[None], rraw[None])
+    s1, s2 = np.asarray(fr1.scan.scan), np.asarray(fr2.scan.scan)
+    assert not np.array_equal(s1, s2)
+    # the fused batch path must see the update too (regression: jit closure
+    # capture of XR32 would freeze the old extrinsics)
+    np.testing.assert_array_equal(np.asarray(sc2.scan[0]), s2)
+
+
+def test_cli_reconfig_poll_applies_live(tmp_path):
+    """--reconfig JSON edits apply between frames in -m mode."""
+    import json
+    import subprocess
+    import sys as _sys
+    cfg = tmp_path / "ext.json"
+    cfg.write_text(json.dumps(
+        {"phi": [1.3, -3.14, 1.57], "trans": [0.0, 0.0, 0.28]}))
+    env = dict(os.environ, JACKAL_TPU_PLATFORM="cpu")
+    out = subprocess.run(
+        [_sys.executable, "-m", "jackal_tpu.cli.point_cloud",
+         "--engine", "bm", "--frames", "2", "--source", "synthetic",
+         "-m", "--reconfig", str(cfg)],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "Rotation matrix" in out.stdout
+
+
 def test_partial_height_mode():
     pipe = make_pipeline(None, "bm",
                          PipelineParams(crop_im_height=60))

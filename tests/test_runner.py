@@ -52,7 +52,46 @@ def test_streaming_runner_max_frames_unbounded_stream():
     assert len(depths) == 4
 
 
-def test_streaming_runner_rejects_elas():
+def test_streaming_runner_elas_engine():
+    """ELAS streams through the runner via the software-pipelined batch."""
     pipe = make_pipeline(None, "elas")
-    with pytest.raises(ValueError):
-        StreamingRunner(pipe)
+    bus = TopicBus()
+    scans = []
+    bus.subscribe(TOPIC_SCAN, scans.append)
+    runner = StreamingRunner(pipe, bus, batch_size=2)
+    rng = np.random.default_rng(2)
+
+    def stream(n):
+        for _ in range(n):
+            yield ((rng.random((360, 640)) * 255).astype(np.uint8),
+                   (rng.random((360, 640)) * 255).astype(np.uint8))
+
+    done = runner.run(stream(2))
+    assert done == 2 and len(scans) == 2
+
+
+def test_streaming_runner_logs_real_stage_times(tmp_path):
+    """Sampled batches log measured per-stage times; no fabricated zeros."""
+    from jackal_tpu.io_bus.timelog import TimeLogWriter
+
+    pipe = make_pipeline(None, "bm")
+    tl = TimeLogWriter(dmap_file=str(tmp_path / "d.txt"),
+                       scan_file=str(tmp_path / "s.txt"))
+    runner = StreamingRunner(pipe, TopicBus(), batch_size=2, timelog=tl,
+                             stage_sample_every=2)
+    rng = np.random.default_rng(3)
+
+    def stream(n):
+        for _ in range(n):
+            yield ((rng.random((360, 640)) * 255).astype(np.uint8),
+                   (rng.random((360, 640)) * 255).astype(np.uint8))
+
+    runner.run(stream(6))   # 3 batches -> batches 0 and 2 sampled
+    tl.close()
+    dmap_times = [float(x) for x in
+                  (tmp_path / "d.txt").read_text().split()]
+    scan_times = [float(x) for x in
+                  (tmp_path / "s.txt").read_text().split()]
+    assert len(dmap_times) == 4 and len(scan_times) == 4  # 2 sampled batches
+    assert all(t > 0 for t in dmap_times)
+    assert all(t > 0 for t in scan_times)

@@ -1,0 +1,87 @@
+"""Cross-process transport: broker routing + the two-node composition.
+
+The reference runs point_cloud and navigate as separate ROS processes
+(launch/stereo.launch:1-14); these tests assert the rebuild composes the
+same way over the TCP broker."""
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+from jackal_tpu.io_bus.bus import TopicBus
+from jackal_tpu.io_bus.messages import Header, LaserScan
+from jackal_tpu.io_bus.socket_bus import BusBridge, BusBroker
+
+
+def test_broker_routes_between_bridges():
+    broker = BusBroker()
+    try:
+        bus_a, bus_b = TopicBus(), TopicBus()
+        got = []
+        bus_b.subscribe("/t", got.append)
+        addr = f"{broker.host}:{broker.port}"
+        br_b = BusBridge(bus_b, addr, subscribe_topics=("/t",))
+        br_a = BusBridge(bus_a, addr, publish_topics=("/t",))
+        msg = LaserScan(Header.now(0, "jackal"), -0.5, 0.5, 0.03, 0.1,
+                        0.001, 0.3, 3.0, [1.0, 2.0])
+        bus_a.publish("/t", msg)
+        deadline = time.time() + 5
+        while not got and time.time() < deadline:
+            time.sleep(0.01)
+        assert got and got[0].ranges == [1.0, 2.0]
+        # no echo back to the sender, and unrelated topics are not routed
+        br_a.close()
+        br_b.close()
+    finally:
+        broker.close()
+
+
+@pytest.mark.slow
+def test_point_cloud_and_navigate_as_two_processes(tmp_path):
+    """Full two-node composition: point_cloud publishes obstacle scans over
+    the broker, navigate consumes them and emits Twist commands + laser
+    Markers (the reference's launch/stereo.launch topology)."""
+    broker = BusBroker()
+    addr = f"{broker.host}:{broker.port}"
+    env = dict(os.environ, JACKAL_TPU_PLATFORM="cpu")
+
+    # observer bridge: assert on what the nodes actually put on the wire
+    obs_bus = TopicBus()
+    twists, markers, scans = [], [], []
+    obs_bus.subscribe("/jackal_velocity_controller/cmd_vel", twists.append)
+    obs_bus.subscribe("/visualize_laser", markers.append)
+    obs_bus.subscribe("/webcam/left/obstacle_scan", scans.append)
+    obs = BusBridge(obs_bus, addr,
+                    subscribe_topics=("/jackal_velocity_controller/cmd_vel",
+                                      "/visualize_laser",
+                                      "/webcam/left/obstacle_scan"))
+    try:
+        nav = subprocess.Popen(
+            [sys.executable, "-m", "jackal_tpu.cli.navigate",
+             "--bus", addr, "--mode", "stop", "--ticks", "3",
+             "--bus-timeout", "240"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        time.sleep(2.0)   # let navigate subscribe before frames flow
+        pc = subprocess.run(
+            [sys.executable, "-m", "jackal_tpu.cli.point_cloud",
+             "--bus", addr, "--engine", "bm", "--frames", "3",
+             "--source", "synthetic", "--delay", "0.1"],
+            env=env, capture_output=True, text=True, timeout=600)
+        assert pc.returncode == 0, pc.stdout + pc.stderr
+        out, _ = nav.communicate(timeout=300)
+        assert nav.returncode == 0, out
+        assert "cmd_vel" in out, out
+        deadline = time.time() + 10
+        while (not twists or not markers) and time.time() < deadline:
+            time.sleep(0.05)
+        assert scans, "no scan crossed the broker"
+        assert twists, "no Twist command crossed the broker"
+        assert markers and markers[0].ns == "jackal_navigation"
+        assert all(p.z == 0.0 for p in markers[0].points[:5])
+    finally:
+        obs.close()
+        broker.close()
