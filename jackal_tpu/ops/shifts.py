@@ -33,6 +33,9 @@ def shifted_row_lookup(
             ap, smax + sign * k, W, axis=-1)
         return jnp.where(s == k, shifted, out)
 
-    init = jnp.full(jnp.broadcast_shapes(arr.shape, s.shape), fill,
-                    arr.dtype)
+    # derive the init from the operands (not jnp.full): under shard_map a
+    # fresh constant is replicated, which trips the loop-carry varying-
+    # manual-axes check when arr/s vary over a mesh axis
+    init = (arr * 0 + (s * 0).astype(arr.dtype)) + jnp.asarray(
+        fill, arr.dtype)
     return jax.lax.fori_loop(0, smax + 1, body, init, unroll=unroll)

@@ -70,9 +70,48 @@ def dp_sharded_step(pipeline, mesh: Mesh):
 # tensor-parallel block matching: disparity axis sharded over 'disp'
 # ---------------------------------------------------------------------------
 
+def _tp_wta(costs, local_d, D, params, axis):
+    """Global WTA over the disparity-sharded volume via keyed pmin.
+
+    costs holds the single-device engine's 1<<24 in-volume sentinel so the
+    combined best/second/neighbor COSTS are bit-identical to bm_match's wta
+    (the key sentinel is clamped separately to avoid int32 overflow)."""
+    BIGV = jnp.int32(1 << 24)                 # in-volume sentinel (bm.py)
+    KCLAMP = jnp.int32(_invalid_cost(D))      # key-safe sentinel
+    keys = jnp.minimum(costs, KCLAMP) * D + local_d[:, None, None]
+    best_key = jax.lax.pmin(jnp.min(keys, axis=0), axis)
+    best_d = best_key % D
+    # best COST read back from the unclamped volume (not key // D, whose
+    # sentinel value differs): exactly one shard holds best_d
+    def at_d(dq):
+        hit = local_d[:, None, None] == dq[None]
+        return jax.lax.pmin(
+            jnp.min(jnp.where(hit, costs, BIGV), axis=0), axis)
+
+    best_c = at_d(best_d)
+    far = jnp.abs(local_d[:, None, None] - best_d[None]) > 1
+    second = jax.lax.pmin(
+        jnp.min(jnp.where(far, costs, BIGV), axis=0), axis)
+    # neighbor costs: out-of-range d yields the 1<<24 sentinel, matching
+    # bm_match's masked min over ds == best_d -/+ 1
+    cm = at_d(best_d - 1)
+    cp = at_d(best_d + 1)
+
+    unique = best_c.astype(jnp.float32) < params.uniqueness * \
+        second.astype(jnp.float32)
+    den = cm + cp - 2 * best_c
+    offs = jnp.where(
+        (best_d > 0) & (best_d < D - 1) & (den > 0),
+        (cm - cp).astype(jnp.float32) / (2.0 * den.astype(jnp.float32)),
+        0.0)
+    return jnp.where(unique, best_d.astype(jnp.float32) + offs, -1.0)
+
+
 def _bm_tp_shard(left, right, params: BMParams, axis: str):
-    """Per-shard body: computes its disparity slice of the cost volume and
-    combines WTA / uniqueness / sub-pixel with keyed pmin collectives."""
+    """Per-shard body: this shard's disparity slice of the cost volume,
+    dual (left+right) WTA with keyed pmin collectives, then the exact
+    bm_finalize (texture gate + L/R consistency) on the replicated maps —
+    output equals the single-device bm_match bit for bit."""
     H, W = left.shape
     D = params.disp_num
     nsh = jax.lax.axis_size(axis)
@@ -83,7 +122,7 @@ def _bm_tp_shard(left, right, params: BMParams, axis: str):
     R = right.astype(jnp.int32)
     u = jnp.arange(W)
 
-    BIG = jnp.int32(_invalid_cost(D))
+    BIGV = jnp.int32(1 << 24)
     # zero-pad shift exactly like the single-device engine: the box filter
     # at valid pixels near the u<d band reads the same AD values
     R_pad = jnp.pad(R, ((0, 0), (D, 0)))
@@ -92,48 +131,33 @@ def _bm_tp_shard(left, right, params: BMParams, axis: str):
         shifted = jax.lax.dynamic_slice_in_dim(R_pad, D - d, W, axis=1)
         ad = jnp.abs(L - shifted)
         c = _box_filter(ad, r)
-        return jnp.where((u - d >= 0)[None, :], c, BIG)
+        return jnp.where((u - d >= 0)[None, :], c, BIGV)
 
     local_d = jnp.arange(Dl) + d0
     costs = jax.vmap(cost_at)(local_d)            # [Dl, H, W]
+    dL = _tp_wta(costs, local_d, D, params, axis)
 
-    # global WTA via keyed pmin (key = cost*D + d; ties -> smallest d,
-    # matching the single-device argmin)
-    keys = costs * D + local_d[:, None, None]
-    best_key = jax.lax.pmin(jnp.min(keys, axis=0), axis)
-    best_d = best_key % D
-    best_c = best_key // D
+    # right volume from the same slices: cost_R(u, d) = cost_L(u+d, d)
+    costs_pad = jnp.pad(costs, ((0, 0), (0, 0), (0, D)),
+                        constant_values=1 << 24)
 
-    # uniqueness: min cost outside |d - best_d| <= 1
-    far = jnp.abs(local_d[:, None, None] - best_d[None]) > 1
-    second = jax.lax.pmin(
-        jnp.min(jnp.where(far, costs, BIG), axis=0), axis)
+    def right_at(i):
+        c = jax.lax.dynamic_slice_in_dim(
+            costs_pad[i], local_d[i], W, axis=1)
+        return jnp.where((u + local_d[i] < W)[None, :], c, BIGV)
 
-    # neighbors for parabolic sub-pixel
-    def at_d(dq):
-        hit = local_d[:, None, None] == dq[None]
-        return jax.lax.pmin(
-            jnp.min(jnp.where(hit, costs, BIG), axis=0), axis)
+    costs_r = jax.vmap(right_at)(jnp.arange(Dl))
+    dR = _tp_wta(costs_r, local_d, D, params, axis)
 
-    cm = at_d(jnp.maximum(best_d - 1, 0))
-    cp = at_d(jnp.minimum(best_d + 1, D - 1))
-
-    unique = best_c.astype(jnp.float32) < params.uniqueness * \
-        second.astype(jnp.float32)
-    den = cm + cp - 2 * best_c
-    offs = jnp.where(
-        (best_d > 0) & (best_d < D - 1) & (den > 0),
-        (cm - cp).astype(jnp.float32) / (2.0 * den.astype(jnp.float32)),
-        0.0)
-    disp = jnp.where(unique, best_d.astype(jnp.float32) + offs, -1.0)
-    return disp
+    from ..matching.bm import bm_finalize
+    return bm_finalize(left, dL, dR, params)
 
 
 def bm_match_tp(mesh: Mesh, params: BMParams = BMParams()):
     """Tensor-parallel BM over the 'disp' mesh axis; batch over 'data'.
 
-    Returns a jitted fn: ([B,H,W], [B,H,W]) -> [B,H,W] float32 left
-    disparity (no LR check in the TP demo path)."""
+    Returns a jitted fn: ([B,H,W], [B,H,W]) -> ([B,H,W], [B,H,W]) float32
+    (left finalized + right) disparities, equal to vmap(bm_match)."""
 
     def batched(left_b, right_b):
         return jax.vmap(
@@ -142,6 +166,6 @@ def bm_match_tp(mesh: Mesh, params: BMParams = BMParams()):
     fn = shard_map(
         batched, mesh=mesh,
         in_specs=(P("data", None, None), P("data", None, None)),
-        out_specs=P("data", None, None),
+        out_specs=(P("data", None, None), P("data", None, None)),
     )
     return jax.jit(fn)
