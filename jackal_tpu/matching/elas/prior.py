@@ -14,14 +14,19 @@ consumed by the fully vectorized device matcher. A C++ native engine
 (jackal_tpu/native) accelerates this path; this numpy version is the
 reference implementation and the fallback.
 
-Delaunay comes from scipy (Qhull). Delaunay triangulations are unique up to
-co-circular degeneracies; on the 5-px support grid degenerate quads are
-common, so triangle diagonals may differ from Shewchuk's — this is the one
-source of (sub-pixel, RMSE-bounded) divergence from libelas. Tests that
-need exactness feed the reference triangle list directly.
+Delaunay: the first-party native triangulator (native/delaunay_engine.cpp,
+Guibas-Stolfi divide-and-conquer with Dwyer alternating cuts and EXACT
+integer predicates) is the default. Its triangle SETS match the reference
+triangulator's on golden fixtures — including the co-circular 5-px support
+lattices — up to duplicate-point survivor choice (tests/test_delaunay.py).
+scipy (Qhull) remains as the fallback for non-integral coordinates or a
+missing C++ toolchain; Qhull's co-circular diagonal choices can differ,
+giving a sub-pixel RMSE-bounded divergence. Tests that need bit-exactness
+feed the reference triangle list directly.
 """
 from __future__ import annotations
 
+import ctypes
 import dataclasses
 from typing import Optional, Tuple
 
@@ -31,6 +36,29 @@ from scipy.spatial import QhullError
 
 from ...config import ElasParams
 
+try:
+    from ...native import available as _native_available
+    _HAVE_NATIVE_TRI = _native_available()
+except Exception:  # pragma: no cover - toolchain-less environments
+    _HAVE_NATIVE_TRI = False
+
+
+def _delaunay_native(pts_f32: np.ndarray) -> Optional[np.ndarray]:
+    """Exact-arithmetic native triangulation; None if not applicable
+    (non-integral coords fall back to Qhull)."""
+    from ...native import load
+
+    lib = load()
+    pts = np.ascontiguousarray(pts_f32, np.float32)
+    max_tri = 3 * len(pts) + 16
+    out = np.zeros((max_tri, 3), np.int32)
+    n = lib.delaunay_exact(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(pts),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_tri, 1)
+    if n < 0:
+        return None
+    return out[:n]
+
 
 def delaunay(points_uv: np.ndarray) -> np.ndarray:
     """Triangle index list [T, 3] over 2D points (float32 coords like the
@@ -38,6 +66,10 @@ def delaunay(points_uv: np.ndarray) -> np.ndarray:
     pts = np.asarray(points_uv, dtype=np.float32)
     if len(pts) < 3:
         return np.zeros((0, 3), np.int32)
+    if _HAVE_NATIVE_TRI:
+        tri = _delaunay_native(pts)
+        if tri is not None:
+            return tri
     try:
         tri = _SciDelaunay(pts.astype(np.float64))
     except QhullError:

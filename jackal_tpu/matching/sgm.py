@@ -11,8 +11,15 @@ levels". Census-transform matching cost + 8-path semi-global aggregation
              - min_d' L(q,d')
   - diagonal paths: the same scan with the carry row shifted one column
     per step (roll + edge reset);
-  - WTA over the path sum, uniqueness, L/R consistency (right volume via
-    the cost_R(u,d) = S_L(u+d,d) identity) and parabolic sub-pixel.
+  - WTA over the path sum, uniqueness, L/R consistency, parabolic
+    sub-pixel. The right-image volume is derived as S_R(u,d) = S_L(u+d,d).
+    DOCUMENTED DEVIATION: that relation is exact for the raw matching cost
+    (same pixel pair) but an approximation for the aggregated sum — true
+    right-image SGM would run its own 8 path scans over cost_R, and paths
+    through a right-image pixel traverse different pixel pairs than paths
+    through its left correspondent. The approximation only feeds the L/R
+    consistency check (a thresholded compare), where it is standard
+    practice; the left disparity map itself is exact SGM.
 """
 from __future__ import annotations
 

@@ -14,7 +14,8 @@ import threading
 from typing import Optional
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "prior_engine.cpp")
+_SRCS = [os.path.join(_DIR, "prior_engine.cpp"),
+         os.path.join(_DIR, "delaunay_engine.cpp")]
 _SO = os.path.join(_DIR, "libjackal_prior.so")
 _HASH = _SO + ".srchash"
 _lock = threading.Lock()
@@ -22,14 +23,17 @@ _lib: Optional[ctypes.CDLL] = None
 
 
 def _src_hash() -> str:
-    with open(_SRC, "rb") as f:
-        return hashlib.sha256(f.read()).hexdigest()
+    h = hashlib.sha256()
+    for src in _SRCS:
+        with open(src, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
 
 
 def _build(digest: str) -> None:
     subprocess.run(
         ["g++", "-O2", "-march=native", "-ffp-contract=off", "-shared",
-         "-fPIC", "-o", _SO, _SRC],
+         "-fPIC", "-o", _SO] + _SRCS,
         check=True, capture_output=True)
     with open(_HASH, "w") as f:
         f.write(digest)
@@ -69,6 +73,8 @@ def load() -> ctypes.CDLL:
         lib.build_grid.argtypes = [c_i32p, i, i, i, i, i, i, c_u8p]
         lib.remove_small_segments_native.argtypes = [
             c_f32p, i, i, ctypes.c_float, i]
+        lib.delaunay_exact.argtypes = [c_f32p, i, c_i32p, i, i]
+        lib.delaunay_exact.restype = i
         _lib = lib
         return lib
 

@@ -38,6 +38,14 @@ from ...config import BMParams
 _M = 128         # lane-dim margin: Mosaic needs 128-aligned DMA/store offsets
 
 
+def _margin(D: int) -> int:
+    """Lane-dim zero margin for shift-by-d slice reads: at least D (the
+    largest static left-shift taken) rounded up to the 128 lane tiling.
+    D <= 128 keeps the historical 128-lane margin; D = 256 (the reference's
+    full ELAS search range, elas.h:93-94) gets a 256-lane margin."""
+    return -(-max(D, _M) // _M) * _M
+
+
 def _big(D: int) -> int:
     """Invalid-cost sentinel: larger than any real box-sum cost (255*25*2 <
     2^24) but small enough that the WTA key sentinel*D + d stays well under
@@ -98,22 +106,22 @@ class _WTA:
 
 def _bm_band_kernel(l_hbm, r_hbm, dl_ref, dr_ref,
                     l_vmem, r_vmem, r32_scr, ad_scr, dr_scr, sem,
-                    *, D, r, TH, W, W_real, uniqueness, lr_threshold):
-    assert D <= _M
+                    *, D, r, TH, W, W_real, uniqueness, lr_threshold, M):
+    assert D <= M
     BIG = _big(D)
     b = pl.program_id(0)
     i = pl.program_id(1)
     THH = TH + 2 * r
-    # r_vmem [THH, _M+W]: cols [0,_M) zero -> shift-by-d reads are slices.
-    # ad_scr [THH, _M+W+_M]: zero margins for the horizontal box.
-    r_vmem[:, 0:_M] = jnp.zeros((THH, _M), jnp.uint8)
-    ad_scr[:, 0:_M] = jnp.zeros((THH, _M), jnp.int32)
-    ad_scr[:, _M + W:] = jnp.zeros((THH, _M), jnp.int32)
+    # r_vmem [THH, M+W]: cols [0,M) zero -> shift-by-d reads are slices.
+    # ad_scr [THH, M+W+M]: zero margins for the horizontal box.
+    r_vmem[:, 0:M] = jnp.zeros((THH, M), jnp.uint8)
+    ad_scr[:, 0:M] = jnp.zeros((THH, M), jnp.int32)
+    ad_scr[:, M + W:] = jnp.zeros((THH, M), jnp.int32)
 
     copy_l = pltpu.make_async_copy(
         l_hbm.at[b, pl.ds(i * TH, THH), :], l_vmem, sem.at[0])
     copy_r = pltpu.make_async_copy(
-        r_hbm.at[b, pl.ds(i * TH, THH), :], r_vmem.at[:, pl.ds(_M, W)],
+        r_hbm.at[b, pl.ds(i * TH, THH), :], r_vmem.at[:, pl.ds(M, W)],
         sem.at[1])
     copy_l.start()
     copy_r.start()
@@ -139,18 +147,18 @@ def _bm_band_kernel(l_hbm, r_hbm, dl_ref, dr_ref,
     # slices + adds of the box filter, the kernel's dominant cost.
     for d0 in range(0, D, 2):
         dual = d0 + 1 < D
-        ad = jnp.abs(L - r32_scr[:, _M - d0:_M - d0 + W])
+        ad = jnp.abs(L - r32_scr[:, M - d0:M - d0 + W])
         if dual:
             ad = ad + (jnp.abs(
-                L - r32_scr[:, _M - d0 - 1:_M - d0 - 1 + W]) << 16)
+                L - r32_scr[:, M - d0 - 1:M - d0 - 1 + W]) << 16)
         # zero the AD over the lane-padding columns so the box filter sees
         # the same zero border as the unpadded jnp engine
-        ad_scr[:, _M:_M + W] = \
+        ad_scr[:, M:M + W] = \
             jnp.where(col_full < W_real, ad, 0) if padded else ad
         adp = ad_scr[:]
-        h = adp[:, _M - r:_M - r + W]
+        h = adp[:, M - r:M - r + W]
         for k in range(1, 2 * r + 1):
-            h = h + adp[:, _M - r + k:_M - r + k + W]
+            h = h + adp[:, M - r + k:M - r + k + W]
         hv = h[0:TH, :]
         for k in range(1, 2 * r + 1):
             hv = hv + h[k:k + TH, :]
@@ -173,12 +181,12 @@ def _bm_band_kernel(l_hbm, r_hbm, dl_ref, dr_ref,
 
     # left/right consistency in-kernel: dr is already resident, and the
     # bounded per-pixel lookup dr[u - s] is a cheap shift-select in VMEM
-    dr_scr[:, _M:_M + W] = dr
+    dr_scr[:, M:M + W] = dr
     uw = jnp.clip((col - dl).astype(jnp.int32), 0, W_real - 1)
     s = jnp.clip(col - uw, 0, D)
     other = jnp.full((TH, W), -2.0, jnp.float32)
     for k in range(D + 1):
-        other = jnp.where(s == k, dr_scr[:, _M - k:_M - k + W], other)
+        other = jnp.where(s == k, dr_scr[:, M - k:M - k + W], other)
     ok = (dl >= 0) & (other >= 0) & \
         (jnp.abs(other - dl) <= lr_threshold)
     dl_ref[0] = jnp.where(ok, dl, -1.0)
@@ -188,13 +196,18 @@ def _bm_band_kernel(l_hbm, r_hbm, dl_ref, dr_ref,
 @functools.partial(jax.jit, static_argnames=("params", "tile_h"))
 def bm_match_pallas(
     left_u8: jnp.ndarray, right_u8: jnp.ndarray,
-    params: BMParams = BMParams(), tile_h: int = 40,
+    params: BMParams = BMParams(), tile_h: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Both WTA disparities [B, H, W] float32 (-1 invalid), one fused pass."""
+    """Both WTA disparities [B, H, W] float32 (-1 invalid), one fused pass.
+
+    tile_h 0 picks a row-band height by disparity range: the kernel's live
+    vector state (WTA duels + the unrolled shift-select sweeps) scales with
+    TH*D, and the Mosaic scoped-vmem stack limit (~16 MB) binds at D=256
+    with the D=64 default of 40 rows."""
     B, H, W = left_u8.shape
     D = params.disp_num
     r = params.window // 2
-    TH = tile_h
+    TH = tile_h if tile_h else max(8, ((40 * 64 // D) // 8) * 8)
     n_tiles = -(-H // TH)
     Hp = n_tiles * TH
     # lane dim must be a multiple of the 128 tiling; right-pad with zeros
@@ -203,9 +216,10 @@ def bm_match_pallas(
     lpad = jnp.pad(left_u8, ((0, 0), (r, Hp - H + r), (0, Wp - W)))
     rpad = jnp.pad(right_u8, ((0, 0), (r, Hp - H + r), (0, Wp - W)))
 
+    M = _margin(D)
     kern = functools.partial(
         _bm_band_kernel, D=D, r=r, TH=TH, W=Wp, W_real=W,
-        uniqueness=params.uniqueness, lr_threshold=params.lr_threshold)
+        uniqueness=params.uniqueness, lr_threshold=params.lr_threshold, M=M)
     spec = pl.BlockSpec((1, TH, Wp), lambda b, i: (b, i, 0),
                         memory_space=pltpu.VMEM)
     dl, dr = pl.pallas_call(
@@ -222,10 +236,10 @@ def bm_match_pallas(
         ),
         scratch_shapes=[
             pltpu.VMEM((TH + 2 * r, Wp), jnp.uint8),
-            pltpu.VMEM((TH + 2 * r, _M + Wp), jnp.uint8),
-            pltpu.VMEM((TH + 2 * r, _M + Wp), jnp.int32),
-            pltpu.VMEM((TH + 2 * r, _M + Wp + _M), jnp.int32),
-            pltpu.VMEM((TH, _M + Wp + _M), jnp.float32),
+            pltpu.VMEM((TH + 2 * r, M + Wp), jnp.uint8),
+            pltpu.VMEM((TH + 2 * r, M + Wp), jnp.int32),
+            pltpu.VMEM((TH + 2 * r, M + Wp + M), jnp.int32),
+            pltpu.VMEM((TH, M + Wp + M), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )(lpad, rpad)
