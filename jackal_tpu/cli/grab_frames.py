@@ -23,14 +23,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    from ..io_bus.replay import StereoReplaySource, synthetic_stream
+    from ..io_bus.camera import open_source
+    from ..io_bus.replay import synthetic_stream
     from ..io_bus.pgm import save_pgm
 
     os.makedirs(args.outdir, exist_ok=True)
     if args.source == "synthetic":
+        # non-default sizes only exist on the synthetic generator
         stream = synthetic_stream(args.count, args.height, args.width)
     else:
-        stream = iter(StereoReplaySource(args.source))
+        stream = iter(open_source(args.source, n_synthetic=args.count))
 
     saved = 0
     for i, (left, right) in enumerate(stream):

@@ -41,7 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--engine", choices=["elas", "bm", "sgm"],
                     default="elas")
     ap.add_argument("--source", default="synthetic",
-                    help="NPZ file, image directory, or 'synthetic'")
+                    help="NPZ file, image directory, 'synthetic[:n]', or "
+                         "live cameras 'v4l2:/dev/video1,/dev/video2"
+                         "[?WxH@fps[,YUYV|MJPG]]' (uvc_stereo_node "
+                         "equivalent, launch/stereo.launch)")
     ap.add_argument("--frames", type=int, default=10)
     ap.add_argument("--out", default=None,
                     help="write results (dmaps + scans) to this NPZ")
@@ -68,7 +71,7 @@ def main(argv=None) -> int:
     from ..config import PipelineParams, ExtrinsicCalibParams
     from ..io_bus.bus import TopicBus
     from ..io_bus.messages import Header, Image, JackalTimeLog, LaserScan
-    from ..io_bus.replay import StereoReplaySource, synthetic_stream
+    from ..io_bus.camera import open_source
     from ..io_bus.timelog import TimeLogWriter
     from ..pipeline.default import make_pipeline
     from ..scan.obstacle import format_laser_scan_ranges
@@ -109,11 +112,8 @@ def main(argv=None) -> int:
         print(f"Rotation matrix: {np.asarray(pipe.XR32)}")
         print(f"Translation matrix: {np.asarray(pipe.XT32)}")
 
-    if args.source == "synthetic":
-        stream = synthetic_stream(args.frames, 360, 640)
-    else:
-        src = StereoReplaySource(args.source)
-        stream = iter(src)
+    source = open_source(args.source, n_synthetic=args.frames)
+    stream = iter(source)
 
     bus = TopicBus()
     disp_pub = bus.advertise("/webcam/left/depth_map")
@@ -165,6 +165,8 @@ def main(argv=None) -> int:
         scans.append(np.asarray(fr.scan.scan))
         seq += 1
     writer.close()
+    if hasattr(source, "close"):
+        source.close()
     if bridge is not None:
         import time
         time.sleep(0.2)   # let the last frames drain to the broker

@@ -33,12 +33,20 @@ def _imread_gray(path: str) -> np.ndarray:
 
 def decode_jpeg_gray(data: bytes) -> Optional[np.ndarray]:
     """cv::imdecode(..., GRAYSCALE) equivalent (point_cloud.cpp:436).
-    Returns None on decode failure, like the reference's empty-Mat check."""
+    Returns None on decode failure, like the reference's empty-Mat check.
+    cv2 when present; PIL otherwise (this image ships PIL, not cv2)."""
     try:
         import cv2
         arr = np.frombuffer(data, np.uint8)
-        img = cv2.imdecode(arr, cv2.IMREAD_GRAYSCALE)
-        return img
+        return cv2.imdecode(arr, cv2.IMREAD_GRAYSCALE)
+    except ImportError:
+        pass
+    except Exception:
+        return None
+    try:
+        import io
+        from PIL import Image
+        return np.asarray(Image.open(io.BytesIO(data)).convert("L"))
     except Exception:
         return None
 
