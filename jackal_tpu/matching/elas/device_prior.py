@@ -1,0 +1,282 @@
+"""ELAS prior maps computed ON DEVICE from per-triangle coefficients.
+
+Round-1/2 shipped the prior as per-pixel maps (d_plane int16 + flags +
+grids ≈ 1.3 MB/frame); on tunnel-attached TPUs that upload IS the ELAS
+throughput bound (~28 MB/s ⇒ ~46 ms/frame, docs/results.md). This module
+reduces the wire to per-TRIANGLE coefficients (~45 B/triangle ≈ 130-300 KB
+/frame) and evaluates the scanline rasterization + plane truncation on
+device — BIT-EXACTLY, in plain f32: measured on the target TPU, XLA's
+f32 multiply/add are separate IEEE round-to-nearest-even ops (no FMA
+contraction), identical to the host's x86 SSE singles. Only f32 DIVISION
+differs (2 ulp), so every division stays on host.
+
+Split of work:
+  host  — support collection, Delaunay, f64 plane fit (needs float64,
+          which TPUs lack), corner sort, slope/intercept f32 division
+          (TPU f32 divide is not bit-exact): everything per-TRIANGLE,
+          O(T) tiny;
+  device— per-(triangle, column) line evaluation, winner-takes-last-triangle
+          rasterization, per-pixel d_plane truncation: everything per-PIXEL
+          or per-(T, W), O(T·W + H·W) tensor ops.
+
+Reference anchors: computeDisparityPlanes (elas.cpp:507-577), the scanline
+rasterization in computeDisparity (elas.cpp:813-904); host twin:
+matching/elas/prior.py rasterize_planes / PlaneMaps.d_plane (the outputs
+here are asserted bit-identical to it in tests/test_device_prior.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+
+from ...config import ElasParams
+from .prior import compute_disparity_planes
+
+
+# ---------------------------------------------------------------------------
+# host side: per-triangle coefficient wire
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class PriorCoeffWire:
+    """Per-triangle device wire for one image side (numpy, padded later).
+
+    35 B/triangle: line INTERCEPTS are not shipped — the device recomputes
+    b = A_v - a*A_u bit-exactly from the slope and the (integer) corner
+    coords, and corner coords fit int16. Only values whose computation
+    involves f32 division (slopes) or f64 (plane fit) ride as f32 bits."""
+    corners_u: np.ndarray   # [T, 3] int16: int(A_u), int(B_u), int(C_u)
+    corners_v: np.ndarray   # [T, 2] int16: int(A_v), int(B_v)
+    slope_bits: np.ndarray  # [T, 3] int32: f32 bits of AC_a, AB_a, BC_a
+    plane_bits: np.ndarray  # [T, 3] int32: f32 bits of pa, pb, pc
+    pvalid: np.ndarray      # [T] uint8: |a|<0.7 on both images
+    #                         (elas.cpp:872)
+
+
+def _corner_sort_f32(tu: np.ndarray, tv: np.ndarray):
+    """The reference's literal pairwise swap sequence (elas.cpp:847-854,
+    prior.py:199-203), vectorized: NOT a stable sort on ties."""
+    tu = tu.astype(np.float32).copy()
+    tv = tv.astype(np.float32).copy()
+    for j, k in ((1, 0), (2, 0), (2, 1)):
+        sw = tu[:, k] > tu[:, j]
+        for arr in (tu, tv):
+            a, b = arr[:, k].copy(), arr[:, j].copy()
+            arr[:, k] = np.where(sw, b, a)
+            arr[:, j] = np.where(sw, a, b)
+    return tu, tv
+
+
+def prior_coeff_wire(support: np.ndarray, tri: np.ndarray,
+                     right_image: bool, fit_fn=None) -> PriorCoeffWire:
+    """Host prep mirroring rasterize_planes' per-triangle math exactly.
+
+    fit_fn(support, tri) -> [T, 6] float32 plane params; defaults to the
+    numpy fit (prior.compute_disparity_planes). The pipeline passes the
+    native full-pivot fit (native_prior.fit_planes_native)."""
+    T = len(tri)
+    if T == 0:
+        return PriorCoeffWire(
+            np.zeros((0, 3), np.int16), np.zeros((0, 2), np.int16),
+            np.zeros((0, 3), np.int32), np.zeros((0, 3), np.int32),
+            np.zeros((0,), np.uint8))
+    s = support.astype(np.float32)
+    if right_image:
+        tu = (s[tri, 0] - s[tri, 2]).astype(np.float32)
+    else:
+        tu = s[tri, 0].astype(np.float32)
+    tv = s[tri, 1].astype(np.float32)
+    tu, tv = _corner_sort_f32(tu, tv)
+    A_u, B_u, C_u = tu[:, 0], tu[:, 1], tu[:, 2]
+    A_v, B_v, C_v = tv[:, 0], tv[:, 1], tv[:, 2]
+    iA, iB, iC = (x.astype(np.int64) for x in (A_u, B_u, C_u))
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        def slope(num_v0, num_v1, den_u0, den_u1, i0, i1):
+            a = np.where(i0 != i1,
+                         (num_v0 - num_v1).astype(np.float32)
+                         / (den_u0 - den_u1).astype(np.float32),
+                         np.float32(0.0)).astype(np.float32)
+            return a
+        AB_a = slope(A_v, B_v, A_u, B_u, iA, iB)
+        AC_a = slope(A_v, C_v, A_u, C_u, iA, iC)
+        BC_a = slope(B_v, C_v, B_u, C_u, iB, iC)
+
+    planes = (fit_fn or compute_disparity_planes)(support, tri)  # [T, 6] f32
+    if right_image:
+        pa, pb, pc = planes[:, 3], planes[:, 4], planes[:, 5]
+        pother = planes[:, 0]
+    else:
+        pa, pb, pc = planes[:, 0], planes[:, 1], planes[:, 2]
+        pother = planes[:, 3]
+    pvalid = (np.abs(pa) < 0.7) & (np.abs(pother) < 0.7)
+
+    sbits = np.stack([AC_a, AB_a, BC_a], axis=1).view(np.int32)
+    pbits = np.stack([pa, pb, pc], axis=1).view(np.int32)
+    corners = np.stack([iA, iB, iC], axis=1).astype(np.int16)
+    cv = np.stack([A_v, B_v], axis=1).astype(np.int16)
+    return PriorCoeffWire(corners, cv, sbits, pbits,
+                          pvalid.astype(np.uint8))
+
+
+def pad_coeff_wire(w: PriorCoeffWire, T_pad: int) -> PriorCoeffWire:
+    """Pad to T_pad triangles; padded entries have empty column spans
+    (A=B=C=0) so they never rasterize."""
+    T = len(w.corners_u)
+    if T >= T_pad:
+        return w
+    p = T_pad - T
+    return PriorCoeffWire(
+        np.pad(w.corners_u, ((0, p), (0, 0))),
+        np.pad(w.corners_v, ((0, p), (0, 0))),
+        np.pad(w.slope_bits, ((0, p), (0, 0))),
+        np.pad(w.plane_bits, ((0, p), (0, 0))),
+        np.pad(w.pvalid, (0, p)))
+
+
+# ---------------------------------------------------------------------------
+# device side: spans -> raster -> maps (plain f32 — measured bit-exact)
+# ---------------------------------------------------------------------------
+
+def _raster_mul_impl(corners_u, slope_bits, plane_bits, *, W, H):
+    """ALL the f32 multiplies of the rasterization, alone in their own
+    executable. XLA's backends may contract a multiply feeding an add in
+    the SAME executable into a single-rounding FMA (XLA:CPU does; the
+    target TPU does not) — splitting mul and add across two dispatches
+    forbids contraction by construction, keeping both backends bit-equal
+    to the host's x86 SSE single ops. Products are exact-rounded f32, so
+    downstream adds in the second dispatch reproduce the reference."""
+    import jax
+    import jax.numpy as jnp
+
+    slopes = jax.lax.bitcast_convert_type(slope_bits.astype(jnp.int32),
+                                          jnp.float32)     # [T, 3]
+    planes = jax.lax.bitcast_convert_type(plane_bits.astype(jnp.int32),
+                                          jnp.float32)     # [T, 3]
+    u_f = jnp.arange(W, dtype=jnp.float32)[None, :]
+    v_f = jnp.arange(H, dtype=jnp.float32)[None, :]
+    A_u_f = corners_u[:, 0:1].astype(jnp.float32)          # exact ints
+    B_u_f = corners_u[:, 1:2].astype(jnp.float32)
+    m_ac = slopes[:, 0:1] * u_f                            # [T, W]
+    m_ab = slopes[:, 1:2] * u_f
+    m_bc = slopes[:, 2:3] * u_f
+    s_ac = slopes[:, 0:1] * A_u_f                          # [T, 1]
+    s_ab = slopes[:, 1:2] * A_u_f
+    s_bc = slopes[:, 2:3] * B_u_f
+    au = planes[:, 0:1] * u_f                              # [T, W]
+    bv = planes[:, 1:2] * v_f                              # [T, H]
+    return m_ac, m_ab, m_bc, s_ac, s_ab, s_bc, au, bv
+
+
+def _raster_add_impl(corners_u, corners_v, plane_bits, pvalid,
+                     m_ac, m_ab, m_bc, s_ac, s_ab, s_bc, au, bv,
+                     *, W, H, chunk=64):
+    """Scanline rasterization + plane evaluation: adds/compares ONLY (the
+    multiplies arrive precomputed from _raster_mul_impl — see there for
+    why). Plain f32 adds and C-semantics truncation are bit-identical to
+    the host x86 ops on both XLA:CPU and the TPU (measured). f32 DIVISION
+    is not (2 ulp on TPU) — all slopes are divided on host and shipped as
+    bits. Line intercepts b = A_v - a*A_u are recomputed here (one f32
+    subtract of the shipped product — same single rounding as the host's).
+    The u32-wrap of negative scanline bounds (elas.cpp:878-879 cast
+    chain) is an int32->uint32 convert here."""
+    import jax
+    import jax.numpy as jnp
+
+    T = corners_u.shape[0]
+    u_i = jnp.arange(W, dtype=jnp.int32)[None, :]          # [1, W]
+    A = corners_u[:, 0:1].astype(jnp.int32)                # [T, 1]
+    B = corners_u[:, 1:2].astype(jnp.int32)
+    C = corners_u[:, 2:3].astype(jnp.int32)
+    A_v_f = corners_v[:, 0:1].astype(jnp.float32)          # exact ints
+    B_v_f = corners_v[:, 1:2].astype(jnp.float32)
+    planes = jax.lax.bitcast_convert_type(plane_bits.astype(jnp.int32),
+                                          jnp.float32)
+    seg1 = (u_i >= A) & (u_i < B)
+    cover = (u_i >= A) & (u_i < C)                         # A<=B<=C (sorted)
+
+    def line_trunc(m, b):
+        # f32 add (exact), C trunc toward zero, uint32 wrap
+        return (m + b).astype(jnp.int32).astype(jnp.uint32)
+
+    v1 = line_trunc(m_ac, A_v_f - s_ac)                    # AC line [T, W]
+    v2 = jnp.where(seg1,
+                   line_trunc(m_ab, A_v_f - s_ab),         # AB line
+                   line_trunc(m_bc, B_v_f - s_bc))         # BC line
+    Hu = jnp.uint32(H)
+    lo = jnp.minimum(jnp.minimum(v1, v2), Hu).astype(jnp.int32)
+    hi = jnp.minimum(jnp.maximum(v1, v2), Hu).astype(jnp.int32)
+    lo = jnp.where(cover, lo, 0)
+    hi = jnp.where(cover, hi, 0)
+
+    # winner-takes-LAST-triangle rasterization (the reference paints
+    # triangles in ascending order, elas.cpp:813-904): per chunk, find the
+    # max covering index AND its plane value f = (pa*u + pb*v) + pc via a
+    # masked one-hot sum — no [H,W]-sized gathers (TPU gathers cost ~ms).
+    rows = jnp.arange(H, dtype=jnp.int32)[None, :, None]   # [1, H, 1]
+    n_chunks = -(-T // chunk)
+    pvi = pvalid.astype(jnp.bool_)
+
+    def body(ci, carry):
+        tid, fmap, pvmap = carry
+        sl = ci * chunk
+        lo_c = jax.lax.dynamic_slice_in_dim(lo, sl, chunk, 0)[:, None, :]
+        hi_c = jax.lax.dynamic_slice_in_dim(hi, sl, chunk, 0)[:, None, :]
+        au_c = jax.lax.dynamic_slice_in_dim(au, sl, chunk, 0)[:, None, :]
+        bv_c = jax.lax.dynamic_slice_in_dim(bv, sl, chunk, 0)[:, :, None]
+        pc_c = jax.lax.dynamic_slice_in_dim(planes, sl, chunk, 0)[:, 2]
+        pv_c = jax.lax.dynamic_slice_in_dim(pvi, sl, chunk, 0)[:, None,
+                                                               None]
+        idx = (sl + jnp.arange(chunk, dtype=jnp.int32))[:, None, None]
+        covered = (rows >= lo_c) & (rows < hi_c)           # [chunk, H, W]
+        best = jnp.max(jnp.where(covered, idx, -1), axis=0)
+        win = covered & (idx == best[None])                # one-hot over c
+        f_c = (au_c + bv_c) + pc_c[:, None, None]          # adds only
+        f_best = jnp.sum(jnp.where(win, f_c, 0.0), axis=0)
+        pv_best = jnp.any(win & pv_c, axis=0)
+        upd = best > tid
+        return (jnp.maximum(tid, best),
+                jnp.where(upd, f_best, fmap),
+                jnp.where(upd, pv_best, pvmap))
+
+    tid, fmap, pvmap = jax.lax.fori_loop(
+        0, n_chunks, body,
+        (jnp.full((H, W), -1, jnp.int32),
+         jnp.zeros((H, W), jnp.float32),
+         jnp.zeros((H, W), jnp.bool_)))
+
+    covered_px = tid >= 0
+    dp = jnp.clip(fmap.astype(jnp.int32), -512, 511).astype(jnp.int16)
+    dp = jnp.where(covered_px, dp, 0)
+    valid = covered_px & pvmap
+    return dp, valid, covered_px
+
+
+_JITS = {}
+
+
+def prior_maps_device(corners_u, corners_v, slope_bits, plane_bits,
+                      pvalid, W: int, H: int):
+    """[B, T, ...] padded coefficient arrays -> (d_plane int16, valid,
+    covered) [B, H, W] device arrays, bit-identical to the host
+    rasterize_planes + PlaneMaps.d_plane pair. Two dispatches: multiplies,
+    then adds/raster (see _raster_mul_impl for why they must not share an
+    executable)."""
+    import jax
+
+    key = (W, H)
+    if key not in _JITS:
+        def muls(cu, sb, pb):
+            return jax.vmap(partial(_raster_mul_impl, W=W, H=H))(
+                cu, sb, pb)
+
+        def adds(cu, cv, pb, pv, prods):
+            return jax.vmap(partial(_raster_add_impl, W=W, H=H))(
+                cu, cv, pb, pv, *prods)
+        _JITS[key] = (jax.jit(muls), jax.jit(adds))
+    mul_jit, add_jit = _JITS[key]
+    prods = mul_jit(corners_u, slope_bits, plane_bits)
+    return add_jit(corners_u, corners_v, plane_bits, pvalid, prods)

@@ -81,6 +81,43 @@ class _MapsNative(PlaneMaps):
         return self._d_plane
 
 
+def build_grid_native(
+    support: np.ndarray, width: int, height: int, right: bool,
+    params: ElasParams = ElasParams(),
+) -> np.ndarray:
+    """Candidate grid (createGrid, elas.cpp:579-659) alone, bool
+    [gh, gw, disp_max+1] — for the coefficient-wire path where the plane
+    maps are rasterized on device (device_prior.py)."""
+    lib = load_native()
+    sp = np.ascontiguousarray(support, np.int32)
+    gs = params.grid_size
+    gw = -(-width // gs)
+    gh = -(-height // gs)
+    D = params.disp_max + 1
+    grid = np.zeros((gh, gw, D), np.uint8)
+    lib.build_grid(_ptr(sp, ctypes.c_int32), len(sp), width, height,
+                   int(right), gs, params.disp_max,
+                   _ptr(grid, ctypes.c_uint8))
+    return grid.astype(bool)
+
+
+def fit_planes_native(support: np.ndarray, tri: np.ndarray) -> np.ndarray:
+    """Per-triangle plane fit [T, 6] via the C++ full-pivot solve
+    (prior_engine.cpp fit_planes, condensing matrix.cpp:414-502) — the
+    reference-exact production fit, ~10x faster than the numpy fallback
+    (prior.compute_disparity_planes) on this 1-core host."""
+    lib = load_native()
+    sp = np.ascontiguousarray(support, np.int32)
+    tri = np.ascontiguousarray(tri, np.int32)
+    t = len(tri)
+    planes = np.zeros((max(t, 1), 6), np.float32)
+    if t:
+        lib.fit_planes(_ptr(sp, ctypes.c_int32), len(sp),
+                       _ptr(tri, ctypes.c_int32), t,
+                       _ptr(planes, ctypes.c_float))
+    return planes[:t]
+
+
 def build_priors_native(
     support: np.ndarray, width: int, height: int,
     params: ElasParams = ElasParams(),

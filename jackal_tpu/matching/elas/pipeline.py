@@ -22,7 +22,7 @@ import numpy as np
 from ...config import ElasParams
 from ...ops.descriptor import create_descriptor
 from .support import support_candidates, collect_support_points
-from .prior import build_priors, pack_prior_wire
+from .prior import build_priors, delaunay
 from .dense import dense_match
 from .post import left_right_consistency_check, post_tail, postprocess
 
@@ -76,17 +76,6 @@ def _front_impl(lb, rb, st: _Static):
     return d1, d2, dcan
 
 
-def _packbits_dev(mask):
-    """[..., W] bool -> [..., W/8] uint8, little bit order (np.packbits
-    inverse on host). W must be padded to a multiple of 8 by the caller."""
-    import jax.numpy as jnp
-
-    W = mask.shape[-1]
-    m = mask.reshape(mask.shape[:-1] + (W // 8, 8)).astype(jnp.int32)
-    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
-    return (m * weights).sum(-1).astype(jnp.uint8)
-
-
 def _unpackbits_dev(packed, width):
     """[..., Wb] uint8 -> [..., width] bool (little bit order)."""
     import jax.numpy as jnp
@@ -97,28 +86,19 @@ def _unpackbits_dev(packed, width):
     return out[..., :width].astype(bool)
 
 
-def _unpack_prior_wire(wire, gridp, D):
-    """Inverse of prior.pack_prior_wire, on device (fuses into the dense
-    kernel's prologue)."""
-    import jax.numpy as jnp
-
-    w = wire.astype(jnp.int32)
-    d_plane = ((w & 0x3FF) - 512).astype(jnp.int16)
-    valid = ((w >> 10) & 1).astype(bool)
-    covered = ((w >> 11) & 1).astype(bool)
-    grid = _unpackbits_dev(gridp, D)
-    return d_plane, valid, covered, grid
-
-
-def _dense_lr_impl(d1, d2, w1, g1, w2, g2, st: _Static):
-    """Unpack priors -> dense match both sides -> L/R check -> BFS wire
-    encode (uint8 disparity + bitpacked invalid mask), one dispatch."""
+def _dense_post_impl(d1, d2, dp1, va1, cv1, g1, dp2, va2, cv2, g2,
+                     st: _Static):
+    """Dense match from DEVICE-computed prior maps (device_prior.py) +
+    the FULL device postprocess chain (L/R check, speckle CC, gaps,
+    adaptive mean, median) in one dispatch. The device speckle
+    (post.remove_small_segments) is bit-identical to the reference BFS,
+    so no disparity wire ever leaves the device."""
     import jax
 
     p = st.params
     D = p.disp_max + 1
-    m1 = _unpack_prior_wire(w1, g1, D)
-    m2 = _unpack_prior_wire(w2, g2, D)
+    m1 = (dp1, va1, cv1, _unpackbits_dev(g1, D))
+    m2 = (dp2, va2, cv2, _unpackbits_dev(g2, D))
     if st.use_pallas and not p.subsampling:
         from ...ops.pallas.elas_dense_kernel import elas_dense_pallas
         D1 = elas_dense_pallas(d1, d2, *m1, p, False)
@@ -129,29 +109,7 @@ def _dense_lr_impl(d1, d2, w1, g1, w2, g2, st: _Static):
         dm_r = jax.vmap(lambda a, b, dp, pv, cv, gm: dense_match(
             a, b, dp, pv, cv, gm, p, True))
         D1, D2 = dm(d1, d2, *m1), dm_r(d1, d2, *m2)
-    D1c, D2c = jax.vmap(
-        lambda a, b: left_right_consistency_check(a, b, p))(D1, D2)
-    W = D1c.shape[-1]
-    Wp = -(-W // 8) * 8
-
-    def enc(Dc):
-        u8 = jnp.clip(Dc, 0, 255).astype(jnp.uint8)
-        inv = jnp.pad(Dc < 0, ((0, 0), (0, 0), (0, Wp - W)))
-        return u8, _packbits_dev(inv)
-    enc2 = None if p.postprocess_only_left else enc(D2c)
-    return D1c, D2c, enc(D1c), enc2
-
-
-def _keep_tail_impl(D1c, D2c, k1, k2, st: _Static):
-    """Apply the host BFS keep masks and run the device post tail."""
-    import jax
-
-    p = st.params
-    W = D1c.shape[-1]
-    D1b = jnp.where(_unpackbits_dev(k1, W), D1c, -10.0)
-    D2b = D2c if k2 is None else jnp.where(
-        _unpackbits_dev(k2, W), D2c, -10.0)
-    return jax.vmap(lambda a, b: post_tail(a, b, p))(D1b, D2b)
+    return jax.vmap(lambda a, b: postprocess(a, b, p))(D1, D2)
 
 
 def _make_jits():
@@ -162,12 +120,11 @@ def _make_jits():
     from functools import partial
 
     front = partial(jax.jit, static_argnames=("st",))(_front_impl)
-    dense = partial(jax.jit, static_argnames=("st",))(_dense_lr_impl)
-    tail = partial(jax.jit, static_argnames=("st",))(_keep_tail_impl)
-    return front, dense, tail
+    dense_post = partial(jax.jit, static_argnames=("st",))(_dense_post_impl)
+    return front, dense_post
 
 
-_front_jit, _dense_lr, _keep_tail = _make_jits()
+_front_jit, _dense_post = _make_jits()
 
 
 def _dense_both(desc1_b, desc2_b, m1_args, m2_args, params):
@@ -293,37 +250,146 @@ def elas_match(
     return np.asarray(D1), np.asarray(D2)
 
 
-def _prior_wire_job(dcan_b, params, W, H, use_native):
-    """Host prior for one frame -> packed wire arrays (thread-pool job; the
-    native engine releases the GIL during C calls). A frame with <3 support
-    points returns zero wire (covered=0 everywhere -> the dense matcher
-    emits all -10, the reference's bail-out semantics, elas.cpp:66-71)."""
+def _prior_coeff_job(dcan_b, params, W, H, use_native):
+    """Host prior for one frame -> per-TRIANGLE coefficient wire + bitpacked
+    candidate grids. The device rasterizes the plane maps itself
+    (device_prior.py), so the upload is ~45 B/triangle instead of
+    ~2.6 B/pixel — the decisive cut on tunnel-attached TPUs where the
+    host->device wire (~28 MB/s) bounds ELAS throughput."""
+    from .device_prior import prior_coeff_wire
+    from .prior import create_grid
+
     gs = params.grid_size
     gh, gw = -(-H // gs), -(-W // gs)
     Db = params.disp_max + 1
-    _, priors = _host_prior(dcan_b, params, W, H, None, None, use_native)
-    if priors is None:
-        z = np.zeros((H, W), np.int16)
+    if use_native:
+        support = collect_support_points_native(dcan_b, params, W, H)
+    else:
+        support = collect_support_points(dcan_b, params, W, H)
+    no_tri = np.zeros((0, 3), np.int32)
+    if len(support) < 3:
+        # reference bail-out semantics (elas.cpp:66-71): uncovered
+        # everywhere -> the dense matcher emits all -10
+        sp3 = np.zeros((3, 3), np.int32)
+        empty = prior_coeff_wire(sp3, no_tri, False)
         zg = np.zeros((gh, gw, Db // 8), np.uint8)
-        return z, zg, z.copy(), zg.copy()
-    m1, m2, g1, g2 = priors
-    w1, g1p = pack_prior_wire(m1, g1)
-    w2, g2p = pack_prior_wire(m2, g2)
-    return w1, g1p, w2, g2p
+        return empty, empty, zg, zg.copy()
+    left_pts = support[:, :2].astype(np.float32)
+    right_pts = np.stack(
+        [support[:, 0] - support[:, 2], support[:, 1]], -1
+    ).astype(np.float32)
+    t1 = delaunay(left_pts)
+    t2 = delaunay(right_pts)
+    if use_native:
+        from .native_prior import build_grid_native, fit_planes_native
+        w1 = prior_coeff_wire(support, t1, False, fit_planes_native)
+        w2 = prior_coeff_wire(support, t2, True, fit_planes_native)
+        g1 = build_grid_native(support, W, H, False, params)
+        g2 = build_grid_native(support, W, H, True, params)
+    else:
+        w1 = prior_coeff_wire(support, t1, False)
+        w2 = prior_coeff_wire(support, t2, True)
+        g1 = create_grid(support, W, H, False, params)
+        g2 = create_grid(support, W, H, True, params)
+    g1p = np.packbits(g1, axis=-1, bitorder="little")
+    g2p = np.packbits(g2, axis=-1, bitorder="little")
+    return w1, w2, g1p, g2p
 
 
-def _bfs_keep_job(d_u8, invp, params):
-    """Host BFS speckle removal from the compact device wire: returns the
-    bitpacked keep mask (pixels surviving removeSmallSegments)."""
-    H, W = d_u8.shape
-    d = d_u8.astype(np.float32)
-    inv = np.unpackbits(invp, axis=-1, bitorder="little")[:, :W].astype(bool)
-    d[inv] = -10.0
-    out = remove_small_segments_native(d, params)
-    keep = out >= 0
-    Wp = -(-W // 8) * 8
-    keep = np.pad(keep, ((0, 0), (0, Wp - W)))
-    return np.packbits(keep, axis=-1, bitorder="little")
+def _chunk_pad_T(wires) -> int:
+    """Triangle-count pad for a chunk, laddered to bound retraces."""
+    Tm = max(max(len(w[0].corners_u), len(w[1].corners_u), 1)
+             for w in wires)
+    return -(-Tm // 512) * 512
+
+
+def _flatten_chunk_wire(wires, Tp) -> np.ndarray:
+    """ONE int32 buffer for a whole chunk: both sides' padded coefficient
+    arrays + the bitpacked candidate grids, in a fixed slice order the
+    device unflattens (_raster_chunk). On tunnel-attached TPUs every
+    host->device transfer pays ~25 ms RTT and ~15-30 MB/s, so BOTH
+    transfer count and bytes bound ELAS throughput; this is one upload of
+    ~35 B/triangle + grids per chunk."""
+    from .device_prior import pad_coeff_wire
+
+    parts = []
+    for side in (0, 1):
+        ws = [pad_coeff_wire(w[side], Tp) for w in wires]
+        parts.append(np.stack([x.corners_u for x in ws])
+                     .reshape(-1).view(np.int32))           # int16 pairs
+        parts.append(np.stack([x.corners_v for x in ws])
+                     .reshape(-1).view(np.int32))
+        parts.append(np.stack([x.slope_bits for x in ws]).ravel())
+        parts.append(np.stack([x.plane_bits for x in ws]).ravel())
+        parts.append(np.stack([x.pvalid for x in ws])
+                     .reshape(-1).view(np.int32))           # uint8 quads
+    for gi in (2, 3):
+        g = np.stack([w[gi] for w in wires])    # [CH, gh, gw, Db//8] u8
+        parts.append(np.ascontiguousarray(g).reshape(-1).view(np.int32))
+    return np.concatenate(parts).astype(np.int32, copy=False)
+
+
+_RASTER_JITS = {}
+
+
+def _raster_chunk(flat_dev, CH, Tp, gh, gw, Db, W, H):
+    """Unflatten one chunk wire on device and rasterize both sides' prior
+    maps (device_prior._prior_maps_impl, bit-exact plain f32). Returns
+    ((dp, valid, covered) x2, grid u8 x2) — all device arrays."""
+    import jax
+
+    key = (CH, Tp, gh, gw, Db, W, H)
+    if key not in _RASTER_JITS:
+        import jax.numpy as jnp
+        from functools import partial
+        from .device_prior import _raster_add_impl, _raster_mul_impl
+
+        def unflat(flat):
+            pos = [0]
+
+            def take(n, dtype=None):
+                x = jax.lax.slice_in_dim(flat, pos[0], pos[0] + n)
+                pos[0] += n
+                if dtype is not None:
+                    x = jax.lax.bitcast_convert_type(x, dtype)
+                return x
+
+            sides = []
+            for _ in range(2):
+                cu = take(CH * Tp * 3 // 2, jnp.int16).reshape(CH, Tp, 3)
+                cv = take(CH * Tp, jnp.int16).reshape(CH, Tp, 2)
+                sb = take(CH * Tp * 3).reshape(CH, Tp, 3)
+                pb = take(CH * Tp * 3).reshape(CH, Tp, 3)
+                pv = take(CH * Tp // 4, jnp.uint8).reshape(CH, Tp) \
+                    .astype(bool)
+                sides.append((cu, cv, sb, pb, pv))
+            grids = []
+            for _ in range(2):
+                u8 = take(CH * gh * gw * (Db // 8) // 4, jnp.uint8)
+                grids.append(u8.reshape(CH, gh, gw, Db // 8))
+            return sides, grids
+
+        # two dispatches — multiplies and adds must not share an
+        # executable or XLA:CPU contracts them into single-rounding FMAs
+        # (see device_prior._raster_mul_impl)
+        def muls(flat):
+            sides, _ = unflat(flat)
+            mul = jax.vmap(partial(_raster_mul_impl, W=W, H=H))
+            return (mul(sides[0][0], sides[0][2], sides[0][3]),
+                    mul(sides[1][0], sides[1][2], sides[1][3]))
+
+        def adds(flat, prods):
+            sides, grids = unflat(flat)
+            add = jax.vmap(partial(_raster_add_impl, W=W, H=H))
+            return (add(sides[0][0], sides[0][1], sides[0][3],
+                        sides[0][4], *prods[0]),
+                    add(sides[1][0], sides[1][1], sides[1][3],
+                        sides[1][4], *prods[1]),
+                    grids[0], grids[1])
+
+        _RASTER_JITS[key] = (jax.jit(muls), jax.jit(adds))
+    mul_jit, add_jit = _RASTER_JITS[key]
+    return add_jit(flat_dev, mul_jit(flat_dev))
 
 
 def elas_match_batch_device(
@@ -335,14 +401,17 @@ def elas_match_batch_device(
 ):
     """Batched ELAS returning DEVICE arrays [B, H, W] float32.
 
-    Software-pipelined around the two host stages (prior engine, BFS
-    speckle): device segments are single async dispatches per chunk, host
-    work runs on a thread pool, and the wire formats are bit-packed so the
-    host<->device traffic is ~1.5 MB/frame (the binding resource on
-    tunnel-attached TPUs). With `chunk` set (must divide B), the host prior
-    of chunk k+1 overlaps the dense matching of chunk k.
+    Tunnel-minimal design: per batch there is ONE download (the support
+    candidate grids, ~24 KB/frame) and ONE upload per chunk (the flat
+    per-triangle coefficient wire, ~0.4 MB/frame); the prior maps are
+    rasterized on device with bit-exact softfloat (device_prior.py) and
+    the ENTIRE postprocess chain — including the speckle connected
+    components the reference does as a host BFS — runs on device, so no
+    disparity data ever crosses the wire. Host work (support pruning,
+    Delaunay, plane fit — all O(support)) is pipelined: while the device
+    rasterizes + matches chunk k, the host (one core here) prepares the
+    coefficients of chunk k+1.
     """
-    import jax
     from concurrent.futures import ThreadPoolExecutor
 
     if params.subsampling:
@@ -358,63 +427,42 @@ def elas_match_batch_device(
     if B % chunk:
         raise ValueError(f"chunk {chunk} must divide batch {B}")
     static = _Static(params, _use_pallas())
+    gs = params.grid_size
+    gh, gw = -(-H // gs), -(-W // gs)
+    Db = params.disp_max + 1
 
     d1, d2, dcan_dev = _front(left, right, static)
     dcan = np.asarray(dcan_dev)          # ~24 KB/frame download
 
-    n_workers = min(B, os.cpu_count() or 8)
-    with ThreadPoolExecutor(max_workers=n_workers) as pool:
+    def upload_chunk(prior_futs, c0):
+        """Pool job: flatten + upload one chunk's wire as soon as its
+        frames' host priors are done — the transfer (GIL-released) then
+        overlaps the host prior work of later chunks on this 1-core box."""
+        wires = [prior_futs[b].result() for b in range(c0, c0 + chunk)]
+        Tp = _chunk_pad_T(wires)
+        return jnp.asarray(_flatten_chunk_wire(wires, Tp)), Tp
+
+    outs = []
+    with ThreadPoolExecutor(max_workers=3) as pool:
         prior_futs = [
-            pool.submit(_prior_wire_job, dcan[b], params, W, H, use_native)
+            pool.submit(_prior_coeff_job, dcan[b], params, W, H, use_native)
             for b in range(B)]
-
-        if not use_native:
-            # fallback: device postprocess (no host BFS round trip)
-            wires = [f.result() for f in prior_futs]
-            w1 = jnp.asarray(np.stack([w[0] for w in wires]))
-            g1 = jnp.asarray(np.stack([w[1] for w in wires]))
-            w2 = jnp.asarray(np.stack([w[2] for w in wires]))
-            g2 = jnp.asarray(np.stack([w[3] for w in wires]))
-            D = params.disp_max + 1
-            m1 = _unpack_prior_wire(w1, g1, D)
-            m2 = _unpack_prior_wire(w2, g2, D)
-            D1, D2 = _dense_both(d1, d2, m1, m2, params)
-            return jax.vmap(lambda a, b: postprocess(a, b, params))(D1, D2)
-
-        # chunked pipeline: upload + dense dispatch as priors complete
-        dense_out = []
-        for c0 in range(0, B, chunk):
-            wires = [prior_futs[b].result() for b in range(c0, c0 + chunk)]
-            w1 = jnp.asarray(np.stack([w[0] for w in wires]))
-            g1 = jnp.asarray(np.stack([w[1] for w in wires]))
-            w2 = jnp.asarray(np.stack([w[2] for w in wires]))
-            g2 = jnp.asarray(np.stack([w[3] for w in wires]))
+        # upload jobs are queued AFTER every prior job, so pool workers
+        # always have runnable priors ahead of a blocking result() wait
+        up_futs = [pool.submit(upload_chunk, prior_futs, c0)
+                   for c0 in range(0, B, chunk)]
+        for c0, uf in zip(range(0, B, chunk), up_futs):
+            flat, Tp = uf.result()
+            m1, m2, g1, g2 = _raster_chunk(flat, chunk, Tp, gh, gw, Db,
+                                           W, H)
             sl = slice(c0, c0 + chunk)
-            dense_out.append(
-                _dense_lr(d1[sl], d2[sl], w1, g1, w2, g2, static))
+            outs.append(
+                _dense_post(d1[sl], d2[sl], *m1, g1, *m2, g2, static))
 
-        # BFS keep masks per chunk (downloads block per chunk; later
-        # chunks' dense work is already queued on the device)
-        tails = []
-        for (D1c, D2c, enc1, enc2) in dense_out:
-            u8_1, inv1 = np.asarray(enc1[0]), np.asarray(enc1[1])
-            k1_futs = [pool.submit(_bfs_keep_job, u8_1[i], inv1[i], params)
-                       for i in range(chunk)]
-            if enc2 is not None:
-                u8_2, inv2 = np.asarray(enc2[0]), np.asarray(enc2[1])
-                k2_futs = [pool.submit(_bfs_keep_job, u8_2[i], inv2[i],
-                                       params)
-                           for i in range(chunk)]
-                k2 = jnp.asarray(np.stack([f.result() for f in k2_futs]))
-            else:
-                k2 = None
-            k1 = jnp.asarray(np.stack([f.result() for f in k1_futs]))
-            tails.append(_keep_tail(D1c, D2c, k1, k2, static))
-
-    D1 = jnp.concatenate([t[0] for t in tails]) if len(tails) > 1 \
-        else tails[0][0]
-    D2 = jnp.concatenate([t[1] for t in tails]) if len(tails) > 1 \
-        else tails[0][1]
+    if len(outs) == 1:
+        return outs[0]
+    D1 = jnp.concatenate([o[0] for o in outs])
+    D2 = jnp.concatenate([o[1] for o in outs])
     return D1, D2
 
 

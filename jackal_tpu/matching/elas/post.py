@@ -58,33 +58,98 @@ def left_right_consistency_check(
     return check(D1, D2, -1.0), check(D2, D1, +1.0)
 
 
+def _label_bits(n: int) -> int:
+    """Bits needed to hold labels 0..n-1."""
+    return max(int(n - 1).bit_length(), 1)
+
+
+def _rev_conn(conn: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Run boundaries for the reverse scan direction: element j starts a
+    (reversed) run when it is not connected to element j+1."""
+    return ~jnp.roll(conn, -1, axis).at[
+        (slice(None),) * axis + (-1,)].set(False)
+
+
+def _seg_terms(conn: jnp.ndarray, axis: int, k: int
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Loop-invariant packed segment-id terms for the cummin run-min scan.
+
+    conn[..., j] says element j is connected to element j-1 along `axis`
+    (conn[..., 0] must be False). Each scan direction numbers its runs
+    from its own starting end; the term (segs_total - seg_id) << k makes
+    keys from EARLIER runs strictly larger than any key of the current
+    run, so a plain cummin keeps the minimum label of the current run in
+    the low k bits."""
+    S = conn.shape[axis] + 1
+    segf = jnp.cumsum(~conn, axis=axis, dtype=jnp.int32)
+    segr = jnp.flip(jnp.cumsum(jnp.flip(_rev_conn(conn, axis), axis),
+                               axis=axis, dtype=jnp.int32), axis)
+    return (S - segf) << k, (S - segr) << k
+
+
+def _run_min_scan_packed(lbl, terms, axis, k):
+    """Min label over maximal connected runs along `axis`: two packed
+    int32 cummin scans (no gathers — TPU gathers cost ~ms each at [H*W];
+    no tuple scans — single-int cummins halve the scan traffic)."""
+    tf, tr = terms
+    mask = (1 << k) - 1
+    fwd = jax.lax.cummin(tf | lbl, axis=axis) & mask
+    rev = jax.lax.cummin(tr | lbl, axis=axis, reverse=True) & mask
+    return jnp.minimum(fwd, rev)
+
+
+def _run_min_scan_tuple(lbl, conn, axis):
+    """Fallback run-min via segmented (value, flag) associative scans —
+    for frames too large for the int32 key packing."""
+    def op(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, jnp.minimum(av, bv)), af | bf
+
+    fwd, _ = jax.lax.associative_scan(op, (lbl, ~conn), axis=axis)
+    rev, _ = jax.lax.associative_scan(
+        op, (jnp.flip(lbl, axis), jnp.flip(_rev_conn(conn, axis), axis)),
+        axis=axis)
+    return jnp.minimum(fwd, jnp.flip(rev, axis))
+
+
 def _connected_component_labels(
     D: jnp.ndarray, sim_threshold: float
 ) -> jnp.ndarray:
     """Min-label over 4-connected components of valid pixels with
     |d_i - d_j| <= sim_threshold. Labels are flat indices; invalid pixels
-    label themselves. Neighbor-min propagation + pointer jumping inside a
-    while_loop run to the fixed point (log-depth in component diameter), so
-    arbitrary snake-shaped components converge."""
+    label themselves. Alternating row/column segmented min-scans inside a
+    while_loop run to the fixed point — each sweep floods a label across
+    entire straight runs (log-depth, gather-free), so convergence takes
+    one iteration per 'bend' of the most serpentine component instead of
+    one per pixel of its diameter (measured: 7 sweeps on real scenes).
+    Same fixed point (per-component min flat index) as the reference
+    BFS's segmentation."""
     H, W = D.shape
-    n = H * W
-    idx = jnp.arange(n, dtype=jnp.int32).reshape(H, W)
+    idx = (jnp.arange(H * W, dtype=jnp.int32).reshape(H, W))
     valid = D >= 0
+    k = _label_bits(H * W)
+    packed_ok = ((max(H, W) + 2) << k) < 2 ** 31
 
-    def neigh_min(lbl):
-        l2 = lbl.reshape(H, W)
-        best = l2
-        for sl_a, sl_b in (
-            ((slice(1, None), slice(None)), (slice(None, -1), slice(None))),
-            ((slice(None, -1), slice(None)), (slice(1, None), slice(None))),
-            ((slice(None), slice(1, None)), (slice(None), slice(None, -1))),
-            ((slice(None), slice(None, -1)), (slice(None), slice(1, None))),
-        ):
-            conn = (jnp.abs(D[sl_a] - D[sl_b]) <= sim_threshold) \
-                & valid[sl_a] & valid[sl_b]
-            cand = jnp.where(conn, l2[sl_b], l2[sl_a])
-            best = best.at[sl_a].min(cand)
-        return best.reshape(-1)
+    def conn_along(axis):
+        d_prev = jnp.roll(D, 1, axis)
+        v_prev = jnp.roll(valid, 1, axis)
+        c = (jnp.abs(D - d_prev) <= sim_threshold) & valid & v_prev
+        return c.at[(slice(None),) * axis + (0,)].set(False)
+
+    conn_row = conn_along(1)
+    conn_col = conn_along(0)
+    if packed_ok:
+        terms_row = _seg_terms(conn_row, 1, k)
+        terms_col = _seg_terms(conn_col, 0, k)
+
+        def sweep(lbl):
+            new = _run_min_scan_packed(lbl, terms_row, 1, k)
+            return _run_min_scan_packed(new, terms_col, 0, k)
+    else:
+        def sweep(lbl):
+            new = _run_min_scan_tuple(lbl, conn_row, 1)
+            return _run_min_scan_tuple(new, conn_col, 0)
 
     def cond(state):
         _, changed = state
@@ -92,14 +157,11 @@ def _connected_component_labels(
 
     def body(state):
         lbl, _ = state
-        new = neigh_min(lbl)
-        new = new[new]  # pointer jump
-        new = new[new]
+        new = sweep(lbl)
         return new, jnp.any(new != lbl)
 
-    lbl, _ = jax.lax.while_loop(
-        cond, body, (idx.reshape(-1), jnp.bool_(True)))
-    return lbl.reshape(H, W)
+    lbl, _ = jax.lax.while_loop(cond, body, (idx, jnp.bool_(True)))
+    return lbl
 
 
 def speckle_size_eff(params: ElasParams) -> int:

@@ -1,0 +1,74 @@
+"""Device-computed prior maps vs the host rasterizer, bit-for-bit.
+
+The on-device prior (matching/elas/device_prior.py) must reproduce the
+host PlaneMaps EXACTLY — d_plane int16, plane-valid and covered masks —
+including every f32 truncation boundary, because the dense matcher's MAP
+window and the final disparities hang off those values."""
+import numpy as np
+import pytest
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from jackal_tpu.config import ElasParams
+from jackal_tpu.matching.elas.device_prior import (
+    pad_coeff_wire, prior_coeff_wire, prior_maps_device)
+from jackal_tpu.matching.elas.prior import (
+    compute_disparity_planes, delaunay, rasterize_planes)
+
+
+def _case_support(fix):
+    import os
+    path = os.path.join(os.path.dirname(__file__), "fixtures", fix)
+    z = np.load(path)
+    from jackal_tpu.matching.elas.pipeline import elas_match
+    out = elas_match(z["left"], z["right"], ElasParams(), return_debug=True)
+    H, W = z["left"].shape
+    return out[2].support, W, H
+
+
+@pytest.mark.parametrize("fix", ["elas_stages_st320.npz",
+                                 "elas_golden_s320_boxes.npz"])
+@pytest.mark.parametrize("right", [False, True])
+def test_device_prior_bit_equal_host(fix, right):
+    support, W, H = _case_support(fix)
+    pts = (np.stack([support[:, 0] - support[:, 2], support[:, 1]], -1)
+           if right else support[:, :2]).astype(np.float32)
+    tri = delaunay(pts)
+    planes = compute_disparity_planes(support, tri)
+    maps_host = rasterize_planes(support, tri, planes, W, H, right)
+
+    wire = prior_coeff_wire(support, tri, right)
+    Tp = -(-len(tri) // 64) * 64
+    wire = pad_coeff_wire(wire, Tp)
+    dp, valid, covered = prior_maps_device(
+        wire.corners_u[None], wire.corners_v[None], wire.slope_bits[None],
+        wire.plane_bits[None], wire.pvalid[None], W, H)
+    dp, valid, covered = (np.asarray(x[0]) for x in (dp, valid, covered))
+
+    assert np.array_equal(covered, maps_host.tri_id >= 0)
+    assert np.array_equal(valid, maps_host.valid)
+    assert np.array_equal(dp[covered], maps_host.d_plane[covered])
+
+
+def test_empty_and_tiny_triangulations():
+    support = np.array([[10, 10, 5], [40, 10, 5], [25, 40, 5]], np.int32)
+    tri = np.array([[0, 1, 2]], np.int32)
+    planes = compute_disparity_planes(support, tri)
+    maps_host = rasterize_planes(support, tri, planes, 64, 64, False)
+    wire = pad_coeff_wire(prior_coeff_wire(support, tri, False), 64)
+    dp, valid, covered = prior_maps_device(
+        wire.corners_u[None], wire.corners_v[None], wire.slope_bits[None],
+        wire.plane_bits[None], wire.pvalid[None], 64, 64)
+    assert np.array_equal(np.asarray(covered[0]), maps_host.tri_id >= 0)
+    assert np.array_equal(np.asarray(dp[0])[maps_host.tri_id >= 0],
+                          maps_host.d_plane[maps_host.tri_id >= 0])
+
+    empty = prior_coeff_wire(support, np.zeros((0, 3), np.int32), False)
+    wire0 = pad_coeff_wire(empty, 64)
+    dp, valid, covered = prior_maps_device(
+        wire0.corners_u[None], wire0.corners_v[None],
+        wire0.slope_bits[None], wire0.plane_bits[None],
+        wire0.pvalid[None], 64, 64)
+    assert not np.asarray(covered).any()

@@ -1,4 +1,9 @@
-"""Stage-level breakdown of the batched ELAS path on real TPU."""
+"""Stage-level breakdown of the batched ELAS path (flat coefficient wire +
+device raster + full device postprocess) on real TPU.
+
+Each device stage is timed over back-to-back dispatches with one final
+sync so the ~25 ms tunnel RTT amortizes out."""
+import os
 import time
 
 import numpy as np
@@ -11,95 +16,94 @@ def main():
     from jackal_tpu.matching.elas import pipeline as P
 
     B, H, W = 16, 480, 640
-    rng = np.random.default_rng(0)
-    base = (rng.random((B, H, W)) * 255).astype(np.uint8)
-    lb = jnp.asarray(base)
-    rb = jnp.asarray(np.roll(base, 5, axis=2))
+    CH = 4
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    z = np.load(os.path.join(root, "tests/fixtures",
+                             "elas_golden_s640_boxes.npz"))
+    lb = jnp.asarray(np.broadcast_to(z["left"], (B, H, W)).copy())
+    rb = jnp.asarray(np.broadcast_to(z["right"], (B, H, W)).copy())
     params = ElasParams()
     static = P._Static(params, P._use_pallas())
+    gs = params.grid_size
+    gh, gw = -(-H // gs), -(-W // gs)
+    Db = params.disp_max + 1
 
     def sync(x):
-        jax.tree_util.tree_map(
-            lambda a: float(np.asarray(a).ravel()[:1].sum()), x)
+        leaves = [l for l in jax.tree_util.tree_leaves(x)
+                  if hasattr(l, "sum")]
+        float(sum(l.sum().astype(jnp.float32) for l in leaves))
 
     # warm everything once
-    D1, D2 = P.elas_match_batch_device(lb, rb, params, chunk=4)
+    D1, D2 = P.elas_match_batch_device(lb, rb, params, chunk=CH)
     sync(D1)
 
+    def dev_time(fn, out, iters=4):
+        fn()
+        sync(out[0])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            fn()
+        sync(out[0])
+        return (time.perf_counter() - t0 - 0.025) / iters
+
     t = {}
-    t0 = time.perf_counter()
-    d1, d2, dcan_dev = P._front(lb, rb, static)
-    sync(dcan_dev)
-    t["front(desc+support)"] = time.perf_counter() - t0
+    out = [None]
+
+    def front():
+        out[0] = P._front(lb, rb, static)
+    t["front(desc+support)"] = dev_time(front, out)
+    d1, d2, dcan_dev = out[0]
 
     t0 = time.perf_counter()
     dcan = np.asarray(dcan_dev)
     t["dcan download"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    wires = [P._prior_wire_job(dcan[b], params, W, H, True) for b in range(B)]
-    t["host prior x16 serial"] = time.perf_counter() - t0
+    wires = [P._prior_coeff_job(dcan[b], params, W, H, True)
+             for b in range(B)]
+    t["host coeffs x16 serial"] = time.perf_counter() - t0
 
-    import os
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=min(B, os.cpu_count() or 8)) as pool:
-        t0 = time.perf_counter()
-        wires = list(pool.map(
-            lambda b: P._prior_wire_job(dcan[b], params, W, H, True),
-            range(B)))
-        t["host prior x16 pooled"] = time.perf_counter() - t0
-
-    # wire upload: per chunk of 4 (the shapes the e2e path compiled)
-    CH = 4
+    Tp = P._chunk_pad_T(wires)
     t0 = time.perf_counter()
-    outs = []
-    for c0 in range(0, B, CH):
-        w1 = jnp.asarray(np.stack([w[0] for w in wires[c0:c0 + CH]]))
-        g1 = jnp.asarray(np.stack([w[1] for w in wires[c0:c0 + CH]]))
-        w2 = jnp.asarray(np.stack([w[2] for w in wires[c0:c0 + CH]]))
-        g2 = jnp.asarray(np.stack([w[3] for w in wires[c0:c0 + CH]]))
-        sl = slice(c0, c0 + CH)
-        outs.append(P._dense_lr(d1[sl], d2[sl], w1, g1, w2, g2, static))
-    for o in outs:
-        sync(o[0])
-    t["dense+LR+enc (4 chunks)"] = time.perf_counter() - t0
+    flats = [P._flatten_chunk_wire(wires[c:c + CH], Tp)
+             for c in range(0, B, CH)]
+    t["host flatten x4"] = time.perf_counter() - t0
+    print(f"  (Tp={Tp}, wire {flats[0].nbytes/1e3:.0f} KB/chunk)")
 
     t0 = time.perf_counter()
-    encs = [(np.asarray(o[2][0]), np.asarray(o[2][1])) for o in outs]
-    t["enc download"] = time.perf_counter() - t0
+    fdevs = [jnp.asarray(f) for f in flats]
+    sync(fdevs)
+    t["upload x4"] = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=min(B, os.cpu_count() or 8)) as pool:
-        keeps = list(pool.map(
-            lambda i: P._bfs_keep_job(encs[i // CH][0][i % CH],
-                                      encs[i // CH][1][i % CH], params),
-            range(B)))
-    t["host BFS x16 pooled"] = time.perf_counter() - t0
+    maps = [None]
 
-    t0 = time.perf_counter()
-    tails = []
-    for ci, o in enumerate(outs):
-        k1 = jnp.asarray(np.stack(keeps[ci * CH:(ci + 1) * CH]))
-        tails.append(P._keep_tail(o[0], o[1], k1, None, static))
-    for tl in tails:
-        sync(tl)
-    t["keep+tail"] = time.perf_counter() - t0
+    def raster():
+        maps[0] = [P._raster_chunk(fd, CH, Tp, gh, gw, Db, W, H)
+                   for fd in fdevs]
+    t["device raster x4 chunks"] = dev_time(raster, maps, iters=2)
+
+    outs = [None]
+
+    def dense():
+        outs[0] = [P._dense_post(d1[c:c + CH], d2[c:c + CH],
+                                 *m[0], m[2], *m[1], m[3], static)
+                   for c, m in zip(range(0, B, CH), maps[0])]
+    t["dense+post x4 chunks"] = dev_time(dense, outs, iters=2)
 
     total = 0.0
     for k, v in t.items():
         print(f"{k:28s} {v*1000:8.2f} ms  ({v*1000/B:6.2f} ms/frame)")
-        if "serial" not in k:
-            total += v
-    print(f"{'sum (pooled)':28s} {total*1000:8.2f} ms  "
-          f"({total*1000/B:6.2f} ms/frame)")
+        total += v
+    print(f"{'sum':28s} {total*1000:8.2f} ms  ({total*1000/B:6.2f} "
+          f"ms/frame)")
 
-    # end-to-end for reference
-    t0 = time.perf_counter()
-    D1, D2 = P.elas_match_batch_device(lb, rb, params, chunk=4)
-    sync(D1)
-    e2e = time.perf_counter() - t0
-    print(f"{'e2e chunk=4':28s} {e2e*1000:8.2f} ms  ({e2e*1000/B:6.2f} "
-          f"ms/frame = {B/e2e:.1f} fps)")
+    for trial in range(3):
+        t0 = time.perf_counter()
+        D1, D2 = P.elas_match_batch_device(lb, rb, params, chunk=CH)
+        sync(D1)
+        e2e = time.perf_counter() - t0
+        print(f"{'e2e chunk=4':28s} {e2e*1000:8.2f} ms  ({e2e*1000/B:6.2f} "
+              f"ms/frame = {B/e2e:.1f} fps)")
 
 
 if __name__ == "__main__":

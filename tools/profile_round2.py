@@ -33,8 +33,12 @@ def main(which):
     if which == "elas":
         from jackal_tpu.matching.elas.pipeline import elas_match_batch_device
         B, H, W = 16, 480, 640
-        lb = jnp.asarray((rng.random((B, H, W)) * 255).astype(np.uint8))
-        rb = jnp.asarray(np.roll(np.asarray(lb), 5, axis=2))
+        # realistic textured scene (random noise is adversarial for the
+        # support stage: every 5th pixel matches -> ~12K support points vs
+        # the ~1.5-4K of real imagery)
+        z = np.load("tests/fixtures/elas_golden_s640_boxes.npz")
+        lb = jnp.asarray(np.broadcast_to(z["left"], (B, H, W)).copy())
+        rb = jnp.asarray(np.broadcast_to(z["right"], (B, H, W)).copy())
         p = ElasParams()
         acc = [None]
 
