@@ -131,34 +131,56 @@ def aggregate_paths(cost: jnp.ndarray, params: SGMParams) -> jnp.ndarray:
     return jnp.moveaxis(S, -1, 0)               # [D, H, W]
 
 
+def _wta_from_maps(best, best_d, second, cm, cp, D: int,
+                   params: SGMParams) -> jnp.ndarray:
+    """Uniqueness + parabolic sub-pixel from the five per-pixel WTA maps.
+    Shared float epilogue of the jnp and Pallas engines (the maps are
+    pure-integer, so both engines feed bit-identical inputs here)."""
+    unique = best.astype(jnp.float32) < params.uniqueness * \
+        second.astype(jnp.float32)
+    den = cm + cp - 2 * best
+    offs = jnp.where(
+        (best_d > 0) & (best_d < D - 1) & (den > 0),
+        (cm - cp).astype(jnp.float32) / (2.0 * den.astype(jnp.float32)),
+        0.0)
+    return jnp.where(unique, best_d.astype(jnp.float32) + offs, -1.0)
+
+
+def _lr_tail(dL: jnp.ndarray, dR: jnp.ndarray, D: int,
+             params: SGMParams) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """L/R consistency: invalidate left pixels whose right correspondent
+    disagrees (shift-select sweep, no per-pixel gathers)."""
+    W = dL.shape[-1]
+    u = jnp.arange(W)
+    uw = jnp.clip((u[None, :] - dL).astype(jnp.int32), 0, W - 1)
+    s = jnp.clip(u[None, :] - uw, 0, D)
+    other = shifted_row_lookup(dR, s, D, -1)
+    ok = (dL >= 0) & (other >= 0) & \
+        (jnp.abs(other - dL) <= params.lr_threshold)
+    return jnp.where(ok, dL, -1.0), dR
+
+
 def _finalize(S: jnp.ndarray, params: SGMParams
               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """WTA + uniqueness + sub-pixel + L/R consistency on the aggregated
-    volume S [D, H, W]. Shared by the jnp and Pallas engines."""
+    volume S [D, H, W] (lax.scan engine)."""
     D, H, W = S.shape
     u = jnp.arange(W)
 
-    def wta(vol):
+    def wta_maps(vol):
         best_d = jnp.argmin(vol, axis=0).astype(jnp.int32)
         best = jnp.min(vol, axis=0)
         ds = jnp.arange(D)[:, None, None]
         near = jnp.abs(ds - best_d[None]) <= 1
         second = jnp.min(jnp.where(near, jnp.int32(1 << 24), vol), axis=0)
-        unique = best.astype(jnp.float32) < params.uniqueness * \
-            second.astype(jnp.float32)
         # neighbor costs via masked reductions (no per-pixel gathers)
         cm = jnp.min(jnp.where(ds == best_d[None] - 1, vol,
                                jnp.int32(1 << 24)), axis=0)
         cp = jnp.min(jnp.where(ds == best_d[None] + 1, vol,
                                jnp.int32(1 << 24)), axis=0)
-        den = cm + cp - 2 * best
-        offs = jnp.where(
-            (best_d > 0) & (best_d < D - 1) & (den > 0),
-            (cm - cp).astype(jnp.float32) / (2.0 * den.astype(jnp.float32)),
-            0.0)
-        return jnp.where(unique, best_d.astype(jnp.float32) + offs, -1.0)
+        return best, best_d, second, cm, cp
 
-    dL = wta(S)
+    dL = _wta_from_maps(*wta_maps(S), D, params)
 
     S_pad = jnp.pad(S, ((0, 0), (0, 0), (0, D)), constant_values=1 << 20)
 
@@ -167,14 +189,8 @@ def _finalize(S: jnp.ndarray, params: SGMParams
         return d + 1, jnp.where((u + d < W)[None, :], c, _INVALID)
 
     _, SR = jax.lax.scan(right_body, 0, None, length=D)
-    dR = wta(SR)
-
-    uw = jnp.clip((u[None, :] - dL).astype(jnp.int32), 0, W - 1)
-    s = jnp.clip(u[None, :] - uw, 0, D)
-    other = shifted_row_lookup(dR, s, D, -1)
-    ok = (dL >= 0) & (other >= 0) & \
-        (jnp.abs(other - dL) <= params.lr_threshold)
-    return jnp.where(ok, dL, -1.0), dR
+    dR = _wta_from_maps(*wta_maps(SR), D, params)
+    return _lr_tail(dL, dR, D, params)
 
 
 @partial(jax.jit, static_argnames=("params",))
@@ -197,16 +213,26 @@ def sgm_match_pallas(
     params: SGMParams = SGMParams(),
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched SGM [B, H, W] with the Pallas wavefront path aggregation
-    (ops/pallas/sgm_kernel.py): identical output to vmap(sgm_match), the
-    8 lax.scan DP passes replaced by 4 VMEM-resident row walks."""
-    from ..ops.pallas.sgm_kernel import aggregate_paths_pallas
+    and single-pass WTA-maps kernel (ops/pallas/sgm_kernel.py): identical
+    output to vmap(sgm_match). The 8 lax.scan DP passes become 4
+    VMEM-resident row walks, and the finalize reads the 300 MB aggregated
+    volume exactly once (left AND right WTA from the same row slab)
+    instead of ~12 elementwise passes."""
+    from ..ops.pallas.sgm_kernel import (
+        aggregate_paths_pallas_bhdw, sgm_wta_maps_pallas)
 
     D = params.disp_num
     cl = jax.vmap(census5x5)(left_b)
     cr = jax.vmap(census5x5)(right_b)
     cost = jax.vmap(lambda a, b: census_cost_volume(a, b, D))(cl, cr)
-    S = aggregate_paths_pallas(cost, params)
-    return jax.vmap(lambda s: _finalize(s, params))(S)
+    S = aggregate_paths_pallas_bhdw(cost, params)     # [B, H, D, W]
+    m = sgm_wta_maps_pallas(S).astype(jnp.int32)      # [B, H, 10, W]
+    dL = _wta_from_maps(m[:, :, 0], m[:, :, 1], m[:, :, 2],
+                        m[:, :, 3], m[:, :, 4], D, params)
+    dR = _wta_from_maps(m[:, :, 5], m[:, :, 6], m[:, :, 7],
+                        m[:, :, 8], m[:, :, 9], D, params)
+    dLc, dR = jax.vmap(lambda a, b: _lr_tail(a, b, D, params))(dL, dR)
+    return dLc, dR
 
 
 sgm_match_batch = jax.vmap(sgm_match, in_axes=(0, 0, None))

@@ -129,12 +129,14 @@ def sgm_paths_dir_pallas(cost_bhdw, p1, p2, shifts=(0,), reverse=False):
     return out[..., :W] if Wp != W else out
 
 
-def aggregate_paths_pallas(cost_bdhw: jnp.ndarray, params) -> jnp.ndarray:
-    """8-path (or 4-path) SGM aggregation, Pallas wavefront engine.
+def aggregate_paths_pallas_bhdw(cost_bdhw: jnp.ndarray, params
+                                ) -> jnp.ndarray:
+    """8-path (or 4-path) SGM aggregation, Pallas wavefront engine,
+    returning the aggregated volume in [B, H, D, W] layout (the layout the
+    WTA kernel consumes — skips a 300 MB moveaxis at 1280x960).
 
-    cost_bdhw: [B, D, H, W] int32 -> S [B, D, H, W] int32, equal to
-    vmap(aggregate_paths). Vertical+diagonal paths fuse into one down pass
-    and one up pass; horizontal paths run on a [B, W, D, H] transpose."""
+    Vertical+diagonal paths fuse into one down pass and one up pass;
+    horizontal paths run on a [B, W, D, H] transpose."""
     p1, p2 = params.p1, params.p2
     c = jnp.moveaxis(cost_bdhw, 1, 2)            # [B, H, D, W]
     shifts = (0, 1, -1) if params.num_paths >= 8 else (0,)
@@ -143,5 +145,121 @@ def aggregate_paths_pallas(cost_bdhw: jnp.ndarray, params) -> jnp.ndarray:
     ct = jnp.transpose(c, (0, 3, 2, 1))          # [B, W, D, H]
     Sh = sgm_paths_dir_pallas(ct, p1, p2, (0,), False)
     Sh = Sh + sgm_paths_dir_pallas(ct, p1, p2, (0,), True)
-    S = S + jnp.transpose(Sh, (0, 3, 2, 1))
-    return jnp.moveaxis(S, 2, 1)                 # [B, D, H, W]
+    return S + jnp.transpose(Sh, (0, 3, 2, 1))   # [B, H, D, W]
+
+
+def aggregate_paths_pallas(cost_bdhw: jnp.ndarray, params) -> jnp.ndarray:
+    """As aggregate_paths_pallas_bhdw but in the reference [B, D, H, W]
+    layout, equal to vmap(matching.sgm.aggregate_paths)."""
+    return jnp.moveaxis(aggregate_paths_pallas_bhdw(cost_bdhw, params),
+                        2, 1)
+
+
+# ---------------------------------------------------------------------------
+# WTA maps kernel: one pass over the aggregated volume
+# ---------------------------------------------------------------------------
+
+_INV = 1 << 20
+
+
+def _wta_maps_kernel(S_hbm, out_hbm, ibuf, obuf, isem, osem,
+                     *, H, D, W, W_real):
+    """Per image row: the five per-pixel WTA statistics (best cost, best
+    disparity, second-best outside +/-1, and the two neighbour costs) for
+    BOTH the left view and the right view derived in-register.
+
+    Key identity: SR[d, v, u] = S[d, v, u+d] — the right-view column of a
+    pixel lies in the SAME image row, so one [D, W] row slab serves both
+    WTAs and the whole volume is read exactly once. The per-row-constant
+    left shift by d is applied with log2(D) masked lane rolls. All ops are
+    integer min/compare — the float uniqueness/sub-pixel/L-R epilogue
+    stays in jnp (matching.sgm), shared verbatim with the scan engine."""
+    b = pl.program_id(0)
+    ds = jax.lax.broadcasted_iota(jnp.int32, (D, W), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (D, W), 1)
+    BIG = jnp.int32(_BIG)
+
+    def dma_in(slot, i):
+        return pltpu.make_async_copy(
+            S_hbm.at[b, i], ibuf.at[slot], isem.at[slot])
+
+    def dma_out(slot, i):
+        return pltpu.make_async_copy(
+            obuf.at[slot], out_hbm.at[b, i], osem.at[slot])
+
+    def wta5(s, out, base):
+        best = jnp.min(s, axis=0, keepdims=True)                  # [1, W]
+        bd = jnp.min(jnp.where(s == best, ds, D), axis=0,
+                     keepdims=True)                               # argmin
+        near = jnp.abs(ds - bd) <= 1
+        second = jnp.min(jnp.where(near, BIG, s), axis=0, keepdims=True)
+        cm = jnp.min(jnp.where(ds == bd - 1, s, BIG), axis=0,
+                     keepdims=True)
+        cp = jnp.min(jnp.where(ds == bd + 1, s, BIG), axis=0,
+                     keepdims=True)
+        out[base + 0] = best[0]
+        out[base + 1] = bd[0]
+        out[base + 2] = second[0]
+        out[base + 3] = cm[0]
+        out[base + 4] = cp[0]
+
+    def step(i, _):
+        slot = i % 2
+        dma_in(slot, i).wait()
+        s = ibuf[slot]
+
+        @pl.when(i + 1 < H)
+        def _():
+            dma_in((i + 1) % 2, i + 1).start()
+
+        @pl.when(i >= 2)
+        def _():
+            dma_out(slot, i - 2).wait()
+
+        wta5(s, obuf.at[slot], 0)
+        # right-view slab: roll row d left by d (log-decomposed — the
+        # shift is row-constant so masked uniform rolls compose exactly)
+        sr = s
+        k = 1
+        while k < D:
+            sr = jnp.where((ds & k) != 0, pltpu.roll(sr, W - k, 1), sr)
+            k <<= 1
+        sr = jnp.where(col >= W_real - ds, jnp.int32(_INV), sr)
+        wta5(sr, obuf.at[slot], 5)
+        dma_out(slot, i).start()
+        return 0
+
+    dma_in(0, 0).start()
+    jax.lax.fori_loop(0, H, step, 0)
+    dma_out((H - 2) % 2, H - 2).wait()
+    dma_out((H - 1) % 2, H - 1).wait()
+
+
+@jax.jit
+def sgm_wta_maps_pallas(S_bhdw: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, D, W] aggregated volume -> [B, H, 10, W] int32 WTA maps:
+    (best, best_d, second, cost_minus, cost_plus) for the left view then
+    the right view. One volume read total. (The row stack is padded to 16
+    in VMEM/HBM — Mosaic requires sublane extents aligned to the tile of
+    8 — and sliced back here.)"""
+    B, H, D, W = S_bhdw.shape
+    Wp = -(-W // 128) * 128
+    if Wp != W:
+        S_bhdw = jnp.pad(S_bhdw, ((0, 0), (0, 0), (0, 0), (0, Wp - W)),
+                         constant_values=_INV)
+    kern = functools.partial(_wta_maps_kernel, H=H, D=D, W=Wp, W_real=W)
+    out = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((B, H, 16, Wp), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((2, D, Wp), jnp.int32),
+            pltpu.VMEM((2, 16, Wp), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(S_bhdw)
+    out = out[:, :, :10]
+    return out[..., :W] if Wp != W else out

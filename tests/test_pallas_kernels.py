@@ -151,3 +151,21 @@ def test_elas_dense_pallas_matches_jnp(interpret_pallas):
             jnp.asarray(valid)[None], jnp.asarray(covered)[None],
             jnp.asarray(grid)[None], params, right_image))[0]
         np.testing.assert_array_equal(got, ref)
+
+
+def test_sgm_wta_maps_pallas_full_match(interpret_pallas):
+    """Pallas single-pass WTA-maps finalize == the lax.scan engine's
+    finalize, end to end (uniqueness, sub-pixel, L/R check)."""
+    from jackal_tpu.config import SGMParams
+    from jackal_tpu.matching.sgm import sgm_match, sgm_match_pallas
+
+    rng = np.random.default_rng(4)
+    B, H, W, D = 2, 20, 130, 16   # W not a 128 multiple: padding path
+    prm = SGMParams(disp_num=D)
+    l = (rng.random((B, H, W)) * 255).astype(np.uint8)
+    r = np.roll(l, 3, axis=2)
+    dl_p, dr_p = sgm_match_pallas(jnp.asarray(l), jnp.asarray(r), prm)
+    for b in range(B):
+        dl_j, dr_j = sgm_match(jnp.asarray(l[b]), jnp.asarray(r[b]), prm)
+        np.testing.assert_array_equal(np.asarray(dl_p)[b], np.asarray(dl_j))
+        np.testing.assert_array_equal(np.asarray(dr_p)[b], np.asarray(dr_j))
