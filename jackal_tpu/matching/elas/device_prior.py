@@ -54,6 +54,22 @@ class PriorCoeffWire:
     plane_bits: np.ndarray  # [T, 3] int32: f32 bits of pa, pb, pc
     pvalid: np.ndarray      # [T] uint8: |a|<0.7 on both images
     #                         (elas.cpp:872)
+    paint_idx: np.ndarray   # [T] int16: ORIGINAL paint-order index — the
+    #   raster's winner-takes-last compares THIS, so host reordering of
+    #   rows (the top-row sort below) cannot change the painted result
+    vmin: np.ndarray        # [T] int16: min corner v — top-row sort key
+    #   (row locality lets the device rasterize short row slabs)
+
+
+def sort_wire_rows(w: "PriorCoeffWire") -> "PriorCoeffWire":
+    """Stable-sort the wire rows by top row (vmin). Pure locality
+    optimization: the device raster derives each chunk's actual row span
+    from the sorted rows and processes a short slab instead of the full
+    image height; paint_idx keeps winner semantics order-independent."""
+    o = np.argsort(w.vmin, kind="stable")
+    return PriorCoeffWire(
+        w.corners_u[o], w.corners_v[o], w.slope_bits[o],
+        w.plane_bits[o], w.pvalid[o], w.paint_idx[o], w.vmin[o])
 
 
 def _corner_sort_f32(tu: np.ndarray, tv: np.ndarray):
@@ -82,7 +98,8 @@ def prior_coeff_wire(support: np.ndarray, tri: np.ndarray,
         return PriorCoeffWire(
             np.zeros((0, 3), np.int16), np.zeros((0, 2), np.int16),
             np.zeros((0, 3), np.int32), np.zeros((0, 3), np.int32),
-            np.zeros((0,), np.uint8))
+            np.zeros((0,), np.uint8), np.zeros((0,), np.int16),
+            np.zeros((0,), np.int16))
     s = support.astype(np.float32)
     if right_image:
         tu = (s[tri, 0] - s[tri, 2]).astype(np.float32)
@@ -118,8 +135,10 @@ def prior_coeff_wire(support: np.ndarray, tri: np.ndarray,
     pbits = np.stack([pa, pb, pc], axis=1).view(np.int32)
     corners = np.stack([iA, iB, iC], axis=1).astype(np.int16)
     cv = np.stack([A_v, B_v], axis=1).astype(np.int16)
+    vmin = np.minimum(np.minimum(A_v, B_v), C_v).astype(np.int16)
     return PriorCoeffWire(corners, cv, sbits, pbits,
-                          pvalid.astype(np.uint8))
+                          pvalid.astype(np.uint8),
+                          np.arange(T, dtype=np.int16), vmin)
 
 
 def pad_coeff_wire(w: PriorCoeffWire, T_pad: int) -> PriorCoeffWire:
@@ -134,7 +153,9 @@ def pad_coeff_wire(w: PriorCoeffWire, T_pad: int) -> PriorCoeffWire:
         np.pad(w.corners_v, ((0, p), (0, 0))),
         np.pad(w.slope_bits, ((0, p), (0, 0))),
         np.pad(w.plane_bits, ((0, p), (0, 0))),
-        np.pad(w.pvalid, (0, p)))
+        np.pad(w.pvalid, (0, p)),
+        np.pad(w.paint_idx, (0, p)),
+        np.pad(w.vmin, (0, p)))
 
 
 # ---------------------------------------------------------------------------
@@ -171,9 +192,9 @@ def _raster_mul_impl(corners_u, slope_bits, plane_bits, *, W, H):
     return m_ac, m_ab, m_bc, s_ac, s_ab, s_bc, au, bv
 
 
-def _raster_add_impl(corners_u, corners_v, plane_bits, pvalid,
+def _raster_add_impl(corners_u, corners_v, plane_bits, pvalid, paint_idx,
                      m_ac, m_ab, m_bc, s_ac, s_ab, s_bc, au, bv,
-                     *, W, H, chunk=64):
+                     *, W, H, chunk=64, slab=128):
     """Scanline rasterization + plane evaluation: adds/compares ONLY (the
     multiplies arrive precomputed from _raster_mul_impl — see there for
     why). Plain f32 adds and C-semantics truncation are bit-identical to
@@ -182,7 +203,16 @@ def _raster_add_impl(corners_u, corners_v, plane_bits, pvalid,
     bits. Line intercepts b = A_v - a*A_u are recomputed here (one f32
     subtract of the shipped product — same single rounding as the host's).
     The u32-wrap of negative scanline bounds (elas.cpp:878-879 cast
-    chain) is an int32->uint32 convert here."""
+    chain) is an int32->uint32 convert here.
+
+    Winner-takes-LAST-triangle semantics (the reference paints triangles
+    in ascending order, elas.cpp:813-904) compare paint_idx, so the wire
+    rows can arrive in ANY order; the host sorts them by top row
+    (sort_wire_rows) and each 64-triangle chunk then rasterizes only a
+    `slab`-row band derived from its own scanline bounds — a lax.cond
+    falls back to full height for chunks containing tall triangles.
+    NOTE: under vmap the cond runs both branches (still correct, not
+    faster); the production path maps frames with lax.map instead."""
     import jax
     import jax.numpy as jnp
 
@@ -212,35 +242,60 @@ def _raster_add_impl(corners_u, corners_v, plane_bits, pvalid,
     lo = jnp.where(cover, lo, 0)
     hi = jnp.where(cover, hi, 0)
 
-    # winner-takes-LAST-triangle rasterization (the reference paints
-    # triangles in ascending order, elas.cpp:813-904): per chunk, find the
-    # max covering index AND its plane value f = (pa*u + pb*v) + pc via a
-    # masked one-hot sum — no [H,W]-sized gathers (TPU gathers cost ~ms).
-    rows = jnp.arange(H, dtype=jnp.int32)[None, :, None]   # [1, H, 1]
+    # per chunk: find the max covering paint index AND its plane value
+    # f = (pa*u + pb*v) + pc via a masked one-hot sum — no [H,W]-sized
+    # gathers (TPU gathers cost ~ms each)
     n_chunks = -(-T // chunk)
     pvi = pvalid.astype(jnp.bool_)
+    pidx = paint_idx.astype(jnp.int32)
+    BH = min(slab, H)
 
     def body(ci, carry):
-        tid, fmap, pvmap = carry
         sl = ci * chunk
         lo_c = jax.lax.dynamic_slice_in_dim(lo, sl, chunk, 0)[:, None, :]
         hi_c = jax.lax.dynamic_slice_in_dim(hi, sl, chunk, 0)[:, None, :]
         au_c = jax.lax.dynamic_slice_in_dim(au, sl, chunk, 0)[:, None, :]
-        bv_c = jax.lax.dynamic_slice_in_dim(bv, sl, chunk, 0)[:, :, None]
+        bv_c = jax.lax.dynamic_slice_in_dim(bv, sl, chunk, 0)
         pc_c = jax.lax.dynamic_slice_in_dim(planes, sl, chunk, 0)[:, 2]
         pv_c = jax.lax.dynamic_slice_in_dim(pvi, sl, chunk, 0)[:, None,
                                                                None]
-        idx = (sl + jnp.arange(chunk, dtype=jnp.int32))[:, None, None]
-        covered = (rows >= lo_c) & (rows < hi_c)           # [chunk, H, W]
-        best = jnp.max(jnp.where(covered, idx, -1), axis=0)
-        win = covered & (idx == best[None])                # one-hot over c
-        f_c = (au_c + bv_c) + pc_c[:, None, None]          # adds only
-        f_best = jnp.sum(jnp.where(win, f_c, 0.0), axis=0)
-        pv_best = jnp.any(win & pv_c, axis=0)
-        upd = best > tid
-        return (jnp.maximum(tid, best),
-                jnp.where(upd, f_best, fmap),
-                jnp.where(upd, pv_best, pvmap))
+        idx = jax.lax.dynamic_slice_in_dim(pidx, sl, chunk, 0)[:, None,
+                                                               None]
+        act = hi_c > lo_c
+        rlo = jnp.min(jnp.where(act, lo_c, H))
+        rhi = jnp.max(hi_c)
+        rlo_al = jnp.clip((rlo // 8) * 8, 0, max(H - BH, 0))
+        fits = rhi <= rlo_al + BH
+
+        def paint(carry, r0, nrows):
+            tid, fmap, pvmap = carry
+            rows = (r0 + jnp.arange(nrows, dtype=jnp.int32))[None, :,
+                                                             None]
+            bv_s = jax.lax.dynamic_slice(
+                bv_c, (0, r0), (chunk, nrows))[:, :, None]
+            covered = (rows >= lo_c) & (rows < hi_c)   # [chunk, nrows, W]
+            best = jnp.max(jnp.where(covered, idx, -1), axis=0)
+            win = covered & (idx == best[None])        # one-hot over c
+            f_c = (au_c + bv_s) + pc_c[:, None, None]  # adds only
+            f_best = jnp.sum(jnp.where(win, f_c, 0.0), axis=0)
+            pv_best = jnp.any(win & pv_c, axis=0)
+            tid_s = jax.lax.dynamic_slice(tid, (r0, 0), (nrows, W))
+            f_s = jax.lax.dynamic_slice(fmap, (r0, 0), (nrows, W))
+            pv_s = jax.lax.dynamic_slice(pvmap, (r0, 0), (nrows, W))
+            upd = best > tid_s
+            return (
+                jax.lax.dynamic_update_slice(
+                    tid, jnp.maximum(tid_s, best), (r0, 0)),
+                jax.lax.dynamic_update_slice(
+                    fmap, jnp.where(upd, f_best, f_s), (r0, 0)),
+                jax.lax.dynamic_update_slice(
+                    pvmap, jnp.where(upd, pv_best, pv_s), (r0, 0)))
+
+        return jax.lax.cond(
+            fits,
+            lambda c: paint(c, rlo_al, BH),
+            lambda c: paint(c, jnp.int32(0), H),
+            carry)
 
     tid, fmap, pvmap = jax.lax.fori_loop(
         0, n_chunks, body,
@@ -259,7 +314,7 @@ _JITS = {}
 
 
 def prior_maps_device(corners_u, corners_v, slope_bits, plane_bits,
-                      pvalid, W: int, H: int):
+                      pvalid, paint_idx, W: int, H: int):
     """[B, T, ...] padded coefficient arrays -> (d_plane int16, valid,
     covered) [B, H, W] device arrays, bit-identical to the host
     rasterize_planes + PlaneMaps.d_plane pair. Two dispatches: multiplies,
@@ -273,10 +328,11 @@ def prior_maps_device(corners_u, corners_v, slope_bits, plane_bits,
             return jax.vmap(partial(_raster_mul_impl, W=W, H=H))(
                 cu, sb, pb)
 
-        def adds(cu, cv, pb, pv, prods):
+        def adds(cu, cv, pb, pv, pidx, prods):
             return jax.vmap(partial(_raster_add_impl, W=W, H=H))(
-                cu, cv, pb, pv, *prods)
+                cu, cv, pb, pv, pidx, *prods)
         _JITS[key] = (jax.jit(muls), jax.jit(adds))
     mul_jit, add_jit = _JITS[key]
     prods = mul_jit(corners_u, slope_bits, plane_bits)
-    return add_jit(corners_u, corners_v, plane_bits, pvalid, prods)
+    return add_jit(corners_u, corners_v, plane_bits, pvalid, paint_idx,
+                   prods)

@@ -256,7 +256,7 @@ def _prior_coeff_job(dcan_b, params, W, H, use_native):
     (device_prior.py), so the upload is ~45 B/triangle instead of
     ~2.6 B/pixel — the decisive cut on tunnel-attached TPUs where the
     host->device wire (~28 MB/s) bounds ELAS throughput."""
-    from .device_prior import prior_coeff_wire
+    from .device_prior import prior_coeff_wire, sort_wire_rows
     from .prior import create_grid
 
     gs = params.grid_size
@@ -293,7 +293,9 @@ def _prior_coeff_job(dcan_b, params, W, H, use_native):
         g2 = create_grid(support, W, H, True, params)
     g1p = np.packbits(g1, axis=-1, bitorder="little")
     g2p = np.packbits(g2, axis=-1, bitorder="little")
-    return w1, w2, g1p, g2p
+    # top-row sort: lets the device raster paint short row slabs
+    # (paint_idx preserves winner-takes-last order independence)
+    return sort_wire_rows(w1), sort_wire_rows(w2), g1p, g2p
 
 
 def _chunk_pad_T(wires) -> int:
@@ -323,6 +325,8 @@ def _flatten_chunk_wire(wires, Tp) -> np.ndarray:
         parts.append(np.stack([x.plane_bits for x in ws]).ravel())
         parts.append(np.stack([x.pvalid for x in ws])
                      .reshape(-1).view(np.int32))           # uint8 quads
+        parts.append(np.stack([x.paint_idx for x in ws])
+                     .reshape(-1).view(np.int32))           # int16 pairs
     for gi in (2, 3):
         g = np.stack([w[gi] for w in wires])    # [CH, gh, gw, Db//8] u8
         parts.append(np.ascontiguousarray(g).reshape(-1).view(np.int32))
@@ -362,7 +366,8 @@ def _raster_chunk(flat_dev, CH, Tp, gh, gw, Db, W, H):
                 pb = take(CH * Tp * 3).reshape(CH, Tp, 3)
                 pv = take(CH * Tp // 4, jnp.uint8).reshape(CH, Tp) \
                     .astype(bool)
-                sides.append((cu, cv, sb, pb, pv))
+                pidx = take(CH * Tp // 2, jnp.int16).reshape(CH, Tp)
+                sides.append((cu, cv, sb, pb, pv, pidx))
             grids = []
             for _ in range(2):
                 u8 = take(CH * gh * gw * (Db // 8) // 4, jnp.uint8)
@@ -380,11 +385,18 @@ def _raster_chunk(flat_dev, CH, Tp, gh, gw, Db, W, H):
 
         def adds(flat, prods):
             sides, grids = unflat(flat)
-            add = jax.vmap(partial(_raster_add_impl, W=W, H=H))
-            return (add(sides[0][0], sides[0][1], sides[0][3],
-                        sides[0][4], *prods[0]),
-                    add(sides[1][0], sides[1][1], sides[1][3],
-                        sides[1][4], *prods[1]),
+            impl = partial(_raster_add_impl, W=W, H=H)
+
+            # lax.map, NOT vmap: the raster's short-slab/full-height
+            # lax.cond stays a real branch per frame (vmap would execute
+            # both branches for every frame)
+            def add(side, pr):
+                cu, cv, sb, pb, pv, pidx = side
+                return jax.lax.map(
+                    lambda a: impl(a[0], a[1], a[2], a[3], a[4], *a[5:]),
+                    (cu, cv, pb, pv, pidx, *pr))
+
+            return (add(sides[0], prods[0]), add(sides[1], prods[1]),
                     grids[0], grids[1])
 
         _RASTER_JITS[key] = (jax.jit(muls), jax.jit(adds))

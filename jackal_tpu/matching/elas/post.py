@@ -178,16 +178,49 @@ def gap_width_eff(params: ElasParams) -> int:
     return params.ipol_gap_width
 
 
+def _segment_sizes(lbl: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel component pixel count, by sort + segmented sum + unsort.
+
+    The obvious `zeros.at[lbl].add(valid)[lbl]` scatter/gather costs
+    ~5.5 ms/frame on TPU at [H*W]; a 307K lax.sort is ~1.4 ms, so two
+    sorts plus two log-depth scans win ~2x."""
+    n = lbl.size
+    flat = lbl.reshape(-1)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    v = valid.reshape(-1).astype(jnp.int32)
+    sk, sv, sp = jax.lax.sort((flat, v, pos), num_keys=1)
+    new_seg = jnp.concatenate(
+        [jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+
+    def op_sum(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av + bv), af | bf
+
+    f, _ = jax.lax.associative_scan(op_sum, (sv, new_seg))
+    # broadcast each segment's final prefix (= its total; v >= 0 makes f
+    # nondecreasing within a segment) back over the segment
+    end_seg = jnp.concatenate([new_seg[1:], jnp.ones((1,), bool)])
+
+    def op_max(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, jnp.maximum(av, bv)), af | bf
+
+    tot_r, _ = jax.lax.associative_scan(
+        op_max, (jnp.flip(f), jnp.flip(end_seg)))
+    tot = jnp.flip(tot_r)
+    _, out = jax.lax.sort((sp, tot), num_keys=1)
+    return out.reshape(lbl.shape)
+
+
 @partial(jax.jit, static_argnames=("params",))
 def remove_small_segments(
     D: jnp.ndarray, params: ElasParams = ElasParams()
 ) -> jnp.ndarray:
     """elas.cpp:981-1099: invalidate components smaller than speckle_size."""
-    H, W = D.shape
     lbl = _connected_component_labels(D, params.speckle_sim_threshold)
-    sizes = jnp.zeros(H * W, jnp.int32).at[lbl.reshape(-1)].add(
-        (D >= 0).reshape(-1).astype(jnp.int32))
-    seg_size = sizes[lbl]
+    seg_size = _segment_sizes(lbl, D >= 0)
     kill = (D >= 0) & (seg_size < speckle_size_eff(params))
     return jnp.where(kill, -10.0, D)
 

@@ -44,7 +44,8 @@ def test_device_prior_bit_equal_host(fix, right):
     wire = pad_coeff_wire(wire, Tp)
     dp, valid, covered = prior_maps_device(
         wire.corners_u[None], wire.corners_v[None], wire.slope_bits[None],
-        wire.plane_bits[None], wire.pvalid[None], W, H)
+        wire.plane_bits[None], wire.pvalid[None], wire.paint_idx[None],
+        W, H)
     dp, valid, covered = (np.asarray(x[0]) for x in (dp, valid, covered))
 
     assert np.array_equal(covered, maps_host.tri_id >= 0)
@@ -60,7 +61,8 @@ def test_empty_and_tiny_triangulations():
     wire = pad_coeff_wire(prior_coeff_wire(support, tri, False), 64)
     dp, valid, covered = prior_maps_device(
         wire.corners_u[None], wire.corners_v[None], wire.slope_bits[None],
-        wire.plane_bits[None], wire.pvalid[None], 64, 64)
+        wire.plane_bits[None], wire.pvalid[None], wire.paint_idx[None],
+        64, 64)
     assert np.array_equal(np.asarray(covered[0]), maps_host.tri_id >= 0)
     assert np.array_equal(np.asarray(dp[0])[maps_host.tri_id >= 0],
                           maps_host.d_plane[maps_host.tri_id >= 0])
@@ -70,5 +72,30 @@ def test_empty_and_tiny_triangulations():
     dp, valid, covered = prior_maps_device(
         wire0.corners_u[None], wire0.corners_v[None],
         wire0.slope_bits[None], wire0.plane_bits[None],
-        wire0.pvalid[None], 64, 64)
+        wire0.pvalid[None], wire0.paint_idx[None], 64, 64)
     assert not np.asarray(covered).any()
+
+
+def test_sorted_wire_preserves_paint_order():
+    """sort_wire_rows reorders triangles by top row (the raster's
+    short-slab locality optimization); paint_idx must keep the painted
+    winner identical to the reference's ascending paint order, including
+    on shared-edge pixels that several triangles touch."""
+    from jackal_tpu.matching.elas.device_prior import sort_wire_rows
+
+    support, W, H = _case_support("elas_golden_s320_boxes.npz")
+    tri = delaunay(support[:, :2].astype(np.float32))
+    planes = compute_disparity_planes(support, tri)
+    maps_host = rasterize_planes(support, tri, planes, W, H, False)
+
+    wire = sort_wire_rows(prior_coeff_wire(support, tri, False))
+    assert not np.all(np.diff(wire.paint_idx.astype(np.int32)) == 1)
+    wire = pad_coeff_wire(wire, -(-len(tri) // 64) * 64)
+    dp, valid, covered = prior_maps_device(
+        wire.corners_u[None], wire.corners_v[None], wire.slope_bits[None],
+        wire.plane_bits[None], wire.pvalid[None], wire.paint_idx[None],
+        W, H)
+    assert np.array_equal(np.asarray(covered[0]), maps_host.tri_id >= 0)
+    assert np.array_equal(np.asarray(valid[0]), maps_host.valid)
+    assert np.array_equal(np.asarray(dp[0])[maps_host.tri_id >= 0],
+                          maps_host.d_plane[maps_host.tri_id >= 0])

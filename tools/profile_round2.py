@@ -32,7 +32,7 @@ def main(which):
 
     if which == "elas":
         from jackal_tpu.matching.elas.pipeline import elas_match_batch_device
-        B, H, W = 16, 480, 640
+        B, H, W = 32, 480, 640
         # realistic textured scene (random noise is adversarial for the
         # support stage: every 5th pixel matches -> ~12K support points vs
         # the ~1.5-4K of real imagery)
