@@ -240,45 +240,6 @@ class StereoPipeline:
             dm, valid_disp, Q32, XR32, XT32))(dmaps)
         return dmaps, scans
 
-    @partial(jax.jit, static_argnames=("self",))
-    def _rectify_crop_batch(self, left_raw_b, right_raw_b):
-        p = self.p
-        left_b = remap_bilinear_batch(left_raw_b, *self.lmap)
-        right_b = remap_bilinear_batch(right_raw_b, *self.rmap)
-        sl = (slice(None),
-              slice(p.crop_offset_y, p.crop_offset_y + p.crop_im_height),
-              slice(p.crop_offset_x, p.crop_offset_x + p.crop_im_width))
-        return left_b[sl], right_b[sl]
-
-    @partial(jax.jit, static_argnames=("self",))
-    def _u8_scan_batch_jit(self, D1, valid_disp, Q32, XR32, XT32):
-        dmaps = jnp.clip(jnp.round(D1), 0, 255).astype(jnp.uint8)
-        scans = jax.vmap(lambda dm: obstacle_scan_from_disparity(
-            dm, valid_disp, Q32, XR32, XT32, self.sp,
-            self.p.crop_offset_x, self.p.crop_offset_y))(dmaps)
-        return dmaps, scans
-
-    def process_batch_elas(self, left_raw_b, right_raw_b, chunk: int = 4):
-        """Batched ELAS pipeline step: rect+crop (one jit) -> the chunked
-        ELAS batch engine (device dispatches pipelined around the host
-        prior, matching/elas/pipeline.py) -> u8 + scan (one jit).
-
-        The ELAS counterpart of process_batch_fused — the throughput path
-        for the reference's actual disparity engine (elas.h:162; per-frame
-        equivalent: imageCallbackLeft, point_cloud.cpp:431-471)."""
-        if self.engine != "elas":
-            raise ValueError("process_batch_elas requires engine='elas'")
-        from ..matching.elas.pipeline import elas_match_batch_device
-
-        left_b, right_b = self._rectify_crop_batch(
-            jnp.asarray(left_raw_b), jnp.asarray(right_raw_b))
-        B = left_b.shape[0]
-        D1, _ = elas_match_batch_device(
-            left_b, right_b, self.elas_params,
-            chunk=chunk if chunk and B % chunk == 0 else None)
-        return self._u8_scan_batch_jit(D1, self.valid_disp, self.Q32,
-                                       self.XR32, self.XT32)
-
     def process_batch_fused_pcl(self, left_raw_b, right_raw_b,
                                 color_bgr_b=None):
         """Fused batched gen-pcl step (BM/SGM): raw stereo batch in ->

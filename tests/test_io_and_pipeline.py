@@ -194,16 +194,16 @@ def test_cli_point_cloud_elas_on_fixture(tmp_path):
 
 
 def test_pipeline_batch_elas_matches_per_frame():
-    """process_batch_elas (throughput path) == process_frame (per-frame
-    path) for the ELAS engine: same rectification, disparity u8 and scan."""
+    """process_batch (engine-agnostic throughput path) == process_frame
+    for the ELAS engine: same rectification, disparity u8 and scan."""
     from jackal_tpu.pipeline.default import make_pipeline
 
     pipe = make_pipeline(None, "elas")
     rng = np.random.default_rng(5)
     lraw = (rng.random((360, 640)) * 255).astype(np.uint8)
     rraw = np.roll(lraw, 4, axis=1)
-    dm_b, sc_b = pipe.process_batch_elas(np.stack([lraw] * 2),
-                                         np.stack([rraw] * 2), chunk=2)
+    dm_b, sc_b = pipe.process_batch(np.stack([lraw] * 2),
+                                    np.stack([rraw] * 2))
     fr = pipe.process_frame(lraw, rraw)
     np.testing.assert_array_equal(np.asarray(dm_b)[0], fr.dmap)
     np.testing.assert_array_equal(np.asarray(dm_b)[1], fr.dmap)
