@@ -4,65 +4,182 @@ Measures the fused batched step rect -> dense disparity -> 3D point cloud
 (robot frame, packed RGB channel) -> obstacle scan — the complete
 point_cloud.cpp per-frame pipeline including the gen-pcl cloud export
 (point_cloud.cpp:298-404) — at 640x480, batch 32 (BASELINE config 5).
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
+headline number plus a "metrics" array tracking the secondary engines so
+regressions are visible to the driver record every round:
+
+  - ELAS (the reference's actual engine, disparity 0-255) e2e fps at
+    640x480 on the fixture scene, plus its RMSE vs the golden produced by
+    an instrumented reference libelas build;
+  - SGM 1280x960 / D=64 fused fps;
+  - BM at the full reference search range D=256, fused fps.
 
 Baseline: the reference publishes no numeric fps (BASELINE.md); the rebuild
 target is >= 500 stereo fps/chip at 640x480 on v5e-1, so vs_baseline is
-fps/500. Secondary numbers (ELAS engine, SGM 1280x960, BM at the full
-D=256 search range) are tracked in docs/results.md and measured by
-tools/profile_round2.py.
+fps/500.
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+ROOT = os.path.dirname(os.path.abspath(__file__))
 
-def main():
-    import jax.numpy as jnp
+
+def _timeit(run, sync, iters, repeats):
+    run()
+    sync()
+    best = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            run()
+        sync()
+        dt = (time.perf_counter() - t0) / iters
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def _fixture_batch(jnp, B, H, W):
+    """Fixture-scene stereo batch (the BM/SGM kernels are content-
+    independent, but benching on imagery keeps the content-dependent
+    stages honest — VERDICT r2 weak #5)."""
+    z = np.load(os.path.join(ROOT, "tests/fixtures",
+                             "elas_golden_s640_boxes.npz"))
+    lb = jnp.asarray(np.broadcast_to(z["left"], (B, H, W)).copy())
+    rb = jnp.asarray(np.broadcast_to(z["right"], (B, H, W)).copy())
+    return z, lb, rb
+
+
+def bench_headline(jnp, calib):
     from jackal_tpu.config import BMParams, PipelineParams
-    from jackal_tpu.pipeline.default import default_calibration
     from jackal_tpu.pipeline.frame_pipeline import StereoPipeline
 
-    B = 32
-    H, W = 480, 640
-    calib = default_calibration()
+    B, H, W = 32, 480, 640
     params = PipelineParams(
         calib_im_size=(640, 360), im_width=W, im_height=H,
         crop_im_width=W, crop_im_height=H, gen_pcl=True)
     pipe = StereoPipeline(calib, params, engine="bm",
                           bm_params=BMParams(disp_num=64))
+    _, lb, rb = _fixture_batch(jnp, B, H, W)
+    out = [None]
 
+    def run():
+        dm, cloud, sc = pipe.process_batch_fused_pcl(lb, rb)
+        out[0] = (dm.sum().astype(jnp.float32) + sc.scan.sum()
+                  + cloud[0][..., 0].sum())
+
+    def sync():
+        float(out[0])
+
+    dt = _timeit(run, sync, iters=16, repeats=3)
+    return B / dt
+
+
+def bench_elas(jnp):
+    from jackal_tpu.config import ElasParams
+    from jackal_tpu.matching.elas.pipeline import elas_match_batch_device
+
+    B, H, W = 32, 480, 640
+    z, lb, rb = _fixture_batch(jnp, B, H, W)
+    p = ElasParams()
+    out = [None]
+
+    def run():
+        D1, _ = elas_match_batch_device(lb, rb, p, chunk=4)
+        out[0] = D1
+
+    def sync():
+        float(out[0].sum())
+
+    dt = _timeit(run, sync, iters=2, repeats=2)
+    D1 = np.asarray(out[0][0])
+    ref = z["D1"]
+    both = (D1 >= 0) & (ref >= 0)
+    rmse = float(np.sqrt(np.mean((D1[both] - ref[both]) ** 2)))
+    mask_agree = float(np.mean((D1 >= 0) == (ref >= 0)))
+    return B / dt, rmse, mask_agree
+
+
+def bench_sgm(jnp, calib):
+    from jackal_tpu.config import PipelineParams, SGMParams
+    from jackal_tpu.pipeline.frame_pipeline import StereoPipeline
+
+    B, H, W = 4, 960, 1280
+    params = PipelineParams(calib_im_size=(640, 360), im_width=W,
+                            im_height=H, crop_im_width=W, crop_im_height=H)
+    pipe = StereoPipeline(calib, params, engine="sgm",
+                          sgm_params=SGMParams(disp_num=64))
     rng = np.random.default_rng(0)
     lb = jnp.asarray((rng.random((B, H, W)) * 255).astype(np.uint8))
     rb = jnp.asarray((rng.random((B, H, W)) * 255).astype(np.uint8))
+    out = [None]
 
-    # warmup / compile; sync via value fetch (block_until_ready does not
-    # reliably block on the experimental axon platform)
-    dm, cloud, sc = pipe.process_batch_fused_pcl(lb, rb)
-    float(dm.sum())
+    def run():
+        dm, sc = pipe.process_batch_fused(lb, rb)
+        out[0] = dm
 
-    best_dt = None
-    for _ in range(3):
-        iters = 16
-        t0 = time.perf_counter()
-        acc = None
-        for _ in range(iters):
-            dm, cloud, sc = pipe.process_batch_fused_pcl(lb, rb)
-            x = (dm.sum().astype(jnp.float32) + sc.scan.sum()
-                 + cloud[0][..., 0].sum())
-            acc = x if acc is None else acc + x
-        float(acc)
-        dt = (time.perf_counter() - t0) / iters
-        best_dt = dt if best_dt is None else min(best_dt, dt)
+    def sync():
+        float(out[0].sum())
 
-    fps = B / best_dt
+    dt = _timeit(run, sync, iters=4, repeats=2)
+    return B / dt
+
+
+def bench_bm256(jnp, calib):
+    from jackal_tpu.config import BMParams, PipelineParams
+    from jackal_tpu.pipeline.frame_pipeline import StereoPipeline
+
+    B, H, W = 16, 480, 640
+    params = PipelineParams(calib_im_size=(640, 360), im_width=W,
+                            im_height=H, crop_im_width=W, crop_im_height=H)
+    pipe = StereoPipeline(calib, params, engine="bm",
+                          bm_params=BMParams(disp_num=256))
+    _, lb, rb = _fixture_batch(jnp, B, H, W)
+    out = [None]
+
+    def run():
+        dm, sc = pipe.process_batch_fused(lb, rb)
+        out[0] = dm
+
+    def sync():
+        float(out[0].sum())
+
+    dt = _timeit(run, sync, iters=8, repeats=2)
+    return B / dt
+
+
+def main():
+    import jax.numpy as jnp
+    from jackal_tpu.pipeline.default import default_calibration
+
+    calib = default_calibration()
+
+    fps = bench_headline(jnp, calib)
+    elas_fps, elas_rmse, elas_mask = bench_elas(jnp)
+    sgm_fps = bench_sgm(jnp, calib)
+    bm256_fps = bench_bm256(jnp, calib)
+
     print(json.dumps({
         "metric": "stereo_fps_per_chip_640x480_rect_disp_cloud_scan",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 500.0, 3),
+        "metrics": [
+            {"metric": "elas_e2e_fps_640x480_d255", "value": round(elas_fps, 2),
+             "unit": "frames/s", "vs_baseline": round(elas_fps / 500.0, 3)},
+            {"metric": "elas_rmse_vs_libelas_px", "value": round(elas_rmse, 4),
+             "unit": "px", "vs_baseline": round(elas_rmse / 0.5, 4)},
+            {"metric": "elas_valid_mask_agreement",
+             "value": round(elas_mask, 5), "unit": "frac", "vs_baseline": 1.0},
+            {"metric": "sgm_fused_fps_1280x960_d64", "value": round(sgm_fps, 2),
+             "unit": "frames/s", "vs_baseline": round(sgm_fps / 500.0, 3)},
+            {"metric": "bm_fused_fps_640x480_d256",
+             "value": round(bm256_fps, 2), "unit": "frames/s",
+             "vs_baseline": round(bm256_fps / 500.0, 3)},
+        ],
     }))
 
 

@@ -172,7 +172,7 @@ def elas_dense_pallas(
         in_specs=[
             pl.BlockSpec((1, C, TH, Wp), lambda b, i: (b, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             bs(True),
             bs(True),
             bs(True),

@@ -116,8 +116,8 @@ def sgm_paths_dir_pallas(cost_bhdw, p1, p2, shifts=(0,), reverse=False):
     out = pl.pallas_call(
         kern,
         grid=(B,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((B, H, D, Wp), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((2, D, Wp), jnp.int32),
@@ -251,8 +251,8 @@ def sgm_wta_maps_pallas(S_bhdw: jnp.ndarray) -> jnp.ndarray:
     out = pl.pallas_call(
         kern,
         grid=(B,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((B, H, 16, Wp), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((2, D, Wp), jnp.int32),

@@ -1,0 +1,320 @@
+"""Vectorized IEEE-754 binary64 arithmetic in integer lanes ("softfloat").
+
+TPUs have no float64 hardware, but the ELAS plane fit must reproduce the
+reference's f64 Gauss-Jordan solve (matrix.cpp:414-502 via the native
+engine's solve3, prior_engine.cpp:98) *bit-exactly*: the fitted plane
+coefficients are rounded to f32 and drive integer candidate windows in the
+dense matcher, so a 1-ulp difference can flip a disparity. Rather than
+shipping the fit over the (slow, tunnel-attached) host->device wire, this
+module emulates f64 add/sub/mul/div with round-to-nearest-even in int64/
+uint64 lane ops — ~40 integer ops per float op, fully vectorized over the
+triangle batch, a few microseconds per frame on the VPU.
+
+Domain: normal numbers and signed zeros. The Gauss-Jordan inputs are small
+integers (|u|,|v| < 2^11, d < 2^9) and the solve's intermediates stay many
+orders of magnitude away from f64 overflow/underflow, so NaN/inf/subnormal
+*inputs* are not handled (asserted nowhere — garbage in, garbage out);
+f64->f32 conversion does implement subnormal outputs since a freak
+cancellation could leave a coefficient below 2^-126.
+
+All functions take/return int64 arrays holding raw IEEE-754 bit patterns
+("bits" suffix). Trace them under `with jax.enable_x64(True):` (scoped —
+the global x64 flag stays off; see tests/test_softfloat.py).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_SIGN = -0x8000000000000000          # bit 63 as int64
+_MAG = 0x7FFFFFFFFFFFFFFF
+_MASK52 = (1 << 52) - 1
+_IMPL = 1 << 52                      # implicit mantissa bit
+
+
+def _u(x):
+    return x.astype(jnp.uint64)
+
+
+def _i(x):
+    return x.astype(jnp.int64)
+
+
+def _unpack(bits):
+    """-> (sign 0/1 u64, biased exp u64, mantissa-with-implicit-bit u64,
+    is_zero bool). Inputs must be normal or zero (see module docstring)."""
+    u = _u(bits)
+    s = u >> jnp.uint64(63)
+    e = (u >> jnp.uint64(52)) & jnp.uint64(0x7FF)
+    frac = u & jnp.uint64(_MASK52)
+    m = frac | jnp.uint64(_IMPL)
+    iszero = (u & jnp.uint64(_MAG)) == 0
+    return s, e, m, iszero
+
+
+def _pack(s, e, m):
+    """sign 0/1, biased exp, mantissa in [2^52, 2^53) -> bits (int64)."""
+    u = (s << jnp.uint64(63)) | (e << jnp.uint64(52)) \
+        | (m & jnp.uint64(_MASK52))
+    return _i(u)
+
+
+def _zero(s):
+    return _i(s << jnp.uint64(63))
+
+
+def _rne(kept, e, rnd, sticky):
+    """Round-to-nearest-even: kept in [2^52, 2^53), round bit, sticky.
+    Returns (mantissa, exp) with the carry into 2^53 renormalized."""
+    inc = rnd & (sticky | (kept & jnp.uint64(1)).astype(bool))
+    kept = kept + inc.astype(jnp.uint64)
+    carry = kept == jnp.uint64(1 << 53)
+    kept = jnp.where(carry, jnp.uint64(1 << 52), kept)
+    e = e + carry.astype(jnp.uint64)
+    return kept, e
+
+
+def _jam_shift(x, n):
+    """Logical right shift with sticky ("jamming"): lost bits OR into the
+    LSB. x u64, n u64 in [0, 63]."""
+    n = jnp.minimum(n, jnp.uint64(63))
+    lost = (x & ((jnp.uint64(1) << n) - jnp.uint64(1))) != 0
+    return (x >> n) | lost.astype(jnp.uint64)
+
+
+def _norm_to_62(x):
+    """Shift x (u64, 0 < x < 2^63) left so bit 62 is the leading bit.
+    Returns (normalized, shift_count u64)."""
+    shift = jnp.zeros_like(x)
+    for k in (32, 16, 8, 4, 2, 1):
+        c = x < (jnp.uint64(1) << jnp.uint64(63 - k))
+        x = jnp.where(c, x << jnp.uint64(k), x)
+        shift = shift + jnp.where(c, jnp.uint64(k), jnp.uint64(0))
+    return x, shift
+
+
+def f64_neg(a):
+    return _i(_u(a) ^ jnp.uint64(1 << 63))
+
+
+def f64_abs_lt(a, b):
+    """|a| < |b| by magnitude-bit compare (exact for normals/zeros)."""
+    return (_u(a) & jnp.uint64(_MAG)) < (_u(b) & jnp.uint64(_MAG))
+
+
+def f64_abs_gt(a, b):
+    return (_u(a) & jnp.uint64(_MAG)) > (_u(b) & jnp.uint64(_MAG))
+
+
+def f64_add(a, b):
+    """a + b with RNE, Berkeley-softfloat style (10 guard bits).
+
+    Signed-zero semantics match hardware: (+x) + (-x) = +0; zero operands
+    pass the other through; (-0) + (-0) = -0.
+    """
+    sa, ea, ma, za = _unpack(a)
+    sb, eb, mb, zb = _unpack(b)
+
+    # order so |x| >= |y|; on equal magnitude keep a first (sum symmetric;
+    # for cancellation the result is +0 regardless)
+    swap = f64_abs_lt(a, b)
+    sx = jnp.where(swap, sb, sa)
+    ex = jnp.where(swap, eb, ea)
+    mx = jnp.where(swap, mb, ma)
+    sy = jnp.where(swap, sa, sb)
+    ey = jnp.where(swap, ea, eb)
+    my = jnp.where(swap, ma, mb)
+
+    de = ex - ey
+    X = mx << jnp.uint64(10)                  # bit 62 leading
+    Y = _jam_shift(my << jnp.uint64(10), de)
+
+    eff_sub = sa != sb
+
+    # --- same sign: add ---
+    Ssum = X + Y                              # may carry into bit 63
+    carry = Ssum >= jnp.uint64(1 << 63)
+    Ssum = jnp.where(carry, _jam_shift(Ssum, jnp.uint64(1)), Ssum)
+    esum = ex + carry.astype(jnp.uint64)
+
+    # --- opposite sign: subtract (X >= Y by ordering) ---
+    D = X - Y
+    cancel = D == 0                           # exact cancellation -> +0
+    Dn, lz = _norm_to_62(jnp.maximum(D, jnp.uint64(1)))
+    esub = ex - lz
+
+    S = jnp.where(eff_sub, Dn, Ssum)
+    e = jnp.where(eff_sub, esub, esum)
+
+    rb = S & jnp.uint64(0x3FF)
+    kept = S >> jnp.uint64(10)
+    rnd = (rb & jnp.uint64(0x200)) != 0
+    sticky = (rb & jnp.uint64(0x1FF)) != 0
+    kept, e = _rne(kept, e, rnd, sticky)
+    out = _pack(sx, e, kept)
+
+    # zeros: x + (+/-0) = x; (+/-0) + (+/-0) = sign AND (RNE: -0 only if
+    # both -0); effective-subtraction cancellation = +0
+    both_zero = za & zb
+    out = jnp.where(za & ~zb, b, out)
+    out = jnp.where(zb & ~za, a, out)
+    out = jnp.where(both_zero, _zero(sa & sb), out)
+    out = jnp.where(eff_sub & cancel & ~za & ~zb,
+                    _zero(jnp.uint64(0)), out)
+    return out
+
+
+def f64_sub(a, b):
+    return f64_add(a, f64_neg(b))
+
+
+def f64_mul(a, b):
+    sa, ea, ma, za = _unpack(a)
+    sb, eb, mb, zb = _unpack(b)
+    s = sa ^ sb
+
+    # 106-bit product via 26/27-bit limbs
+    M26 = jnp.uint64((1 << 26) - 1)
+    a0 = ma & M26
+    a1 = ma >> jnp.uint64(26)
+    b0 = mb & M26
+    b1 = mb >> jnp.uint64(26)
+    c0 = a0 * b0                              # < 2^52
+    c1 = a0 * b1 + a1 * b0                    # < 2^54
+    c2 = a1 * b1                              # < 2^54
+    t0 = c0 + ((c1 & M26) << jnp.uint64(26))  # < 2^53
+    t1 = c2 + (c1 >> jnp.uint64(26)) + (t0 >> jnp.uint64(52))
+    t0 = t0 & jnp.uint64(_MASK52)
+    # full = t1*2^52 + t0, t1 in [2^52, 2^54), t0 < 2^52
+
+    hi = t1 >= jnp.uint64(1 << 53)
+    kept = jnp.where(hi, t1 >> jnp.uint64(1), t1)
+    rnd = jnp.where(hi, (t1 & jnp.uint64(1)) != 0,
+                    (t0 >> jnp.uint64(51)) != 0)
+    sticky = jnp.where(hi, t0 != 0,
+                       (t0 & jnp.uint64((1 << 51) - 1)) != 0)
+    e = ea + eb - jnp.uint64(1023) + hi.astype(jnp.uint64)
+    kept, e = _rne(kept, e, rnd, sticky)
+    out = _pack(s, e, kept)
+    return jnp.where(za | zb, _zero(s), out)
+
+
+def f64_div(a, b):
+    """a / b with RNE. b must be nonzero (the Gauss-Jordan pivot is
+    singularity-gated before any division)."""
+    sa, ea, ma, za = _unpack(a)
+    sb, eb, mb, _ = _unpack(b)
+    s = sa ^ sb
+
+    # q54 = floor(ma * 2^54 / mb), r54 = remainder — 6 chunks of 9 bits
+    # (r < 2^53 so r<<9 < 2^62 never overflows)
+    q = jnp.zeros_like(ma)
+    r = ma
+    for _ in range(6):
+        r = r << jnp.uint64(9)
+        qi = r // mb
+        r = r - qi * mb
+        q = (q << jnp.uint64(9)) | qi
+    big = ma >= mb                            # quotient in [1, 2)
+    kept = jnp.where(big, q >> jnp.uint64(2), q >> jnp.uint64(1))
+    rnd = jnp.where(big, (q & jnp.uint64(2)) != 0,
+                    (q & jnp.uint64(1)) != 0)
+    sticky = jnp.where(big, ((q & jnp.uint64(1)) != 0) | (r != 0), r != 0)
+    e = ea - eb + jnp.where(big, jnp.uint64(1023), jnp.uint64(1022))
+    kept, e = _rne(kept, e, rnd, sticky)
+    out = _pack(s, e, kept)
+    return jnp.where(za, _zero(s), out)
+
+
+def f64_from_i32(x):
+    """Exact int -> f64 (|x| < 2^53). x int32/int64 array."""
+    xi = _i(x)
+    s = (xi < 0).astype(jnp.uint64)
+    m = _u(jnp.abs(xi))
+    iszero = m == 0
+    # normalize so bit 52 is leading: start from bit 62 then shift back
+    m62, lz = _norm_to_62(jnp.maximum(m, jnp.uint64(1)))
+    # m62 = m << lz, kept = m << (lz - 10) exact (lz >= 10 for m < 2^53);
+    # value = m = kept * 2^(10 - lz)  =>  e - 1075 = 10 - lz
+    kept = m62 >> jnp.uint64(10)
+    e = jnp.uint64(1085) - lz
+    out = _pack(s, e, kept)
+    return jnp.where(iszero, _zero(jnp.uint64(0)), out)
+
+
+def f64_to_f32_bits(bits):
+    """C-cast (double)->(float) with RNE, including subnormal outputs.
+    Returns int32 raw f32 bit patterns."""
+    s, e, m, iszero = _unpack(bits)
+    # biased f32 exponent
+    e32 = _i(e) - 1023 + 127
+    # subnormal: shift mantissa right so the implicit bit lands at 2^23
+    # position for e32 <= 0 (extra = 1 - e32)
+    extra = jnp.maximum(1 - e32, 0)
+    mj = _jam_shift(m, _u(extra))
+    e32 = jnp.where(extra > 0, 0, e32)
+    kept = mj >> jnp.uint64(29)
+    rb = mj & jnp.uint64((1 << 29) - 1)
+    rnd = (rb & jnp.uint64(1 << 28)) != 0
+    sticky = (rb & jnp.uint64((1 << 28) - 1)) != 0
+    inc = rnd & (sticky | (kept & jnp.uint64(1)).astype(bool))
+    kept = kept + inc.astype(jnp.uint64)
+    # carry: normal 2^24 -> renormalize; subnormal carry to 2^23 is a
+    # normal with e32=1 — both handled by integer addition layout below
+    carry = kept == jnp.uint64(1 << 24)
+    kept = jnp.where(carry, jnp.uint64(1 << 23), kept)
+    e32 = e32 + carry.astype(jnp.int32)
+    is_norm = e32 > 0
+    frac = jnp.where(is_norm, kept & jnp.uint64((1 << 23) - 1), kept)
+    out = (s.astype(jnp.uint32) << jnp.uint32(31)) \
+        | (_u(jnp.where(is_norm, e32, 0)).astype(jnp.uint32)
+           << jnp.uint32(23)) \
+        | frac.astype(jnp.uint32)
+    out = jnp.where(iszero, s.astype(jnp.uint32) << jnp.uint32(31), out)
+    return out.astype(jnp.int32)
+
+
+def f32_div_int(num, den):
+    """Correctly-rounded float32 quotient of two integers, as f32 values.
+
+    Replicates x86 divss on exact small-int operands (|num|,|den| < 2^24,
+    den != 0) without the TPU's 2-ulp native divide: 26 quotient bits via
+    one int64 division, then RNE. Used for the triangle line slopes
+    (device_prior.prior_coeff_wire ships these from host; the device path
+    computes them in place)."""
+    n = _i(num)
+    d = _i(den)
+    s = ((n < 0) ^ (d < 0)).astype(jnp.uint32)
+    na = _u(jnp.abs(n))
+    da = _u(jnp.abs(d))
+    iszero = na == 0
+
+    # scale numerator so the quotient has 26-27 bits:
+    # q = floor(na*2^k / da), k = 26 - bitlen(na) + bitlen(da)
+    # (k in [3, 49] in the domain; na << k < 2^(26 + bitlen(da)) <= 2^50)
+    _, lzn = _norm_to_62(jnp.maximum(na, jnp.uint64(1)))
+    _, lzd = _norm_to_62(jnp.maximum(da, jnp.uint64(1)))
+    k = _i(lzn) - _i(lzd) + 26            # bitlen(x) = 63 - lz
+    k = jnp.maximum(k, 0)
+    scaled = na << _u(k)
+    q = scaled // da
+    r = scaled - q * da
+    # q in [2^25, 2^27): v = n/d = (q + r/d) * 2^-k
+    hi = q >= jnp.uint64(1 << 26)
+    # hi: kept = q >> 3, E = 26 - k; lo: kept = q >> 2, E = 25 - k
+    kept = jnp.where(hi, q >> jnp.uint64(3), q >> jnp.uint64(2))
+    rnd = jnp.where(hi, (q & jnp.uint64(4)) != 0, (q & jnp.uint64(2)) != 0)
+    sticky = jnp.where(hi, (q & jnp.uint64(3)) != 0,
+                       (q & jnp.uint64(1)) != 0) | (r != 0)
+    e = jnp.where(hi, 153, 152) - k       # biased f32 exponent E + 127
+    inc = rnd & (sticky | (kept & jnp.uint64(1)).astype(bool))
+    kept = kept + inc.astype(jnp.uint64)
+    carry = kept == jnp.uint64(1 << 24)
+    kept = jnp.where(carry, jnp.uint64(1 << 23), kept)
+    e = e + carry.astype(jnp.int32)
+    bits = (s << jnp.uint32(31)) \
+        | (_u(e).astype(jnp.uint32) << jnp.uint32(23)) \
+        | (kept & jnp.uint64((1 << 23) - 1)).astype(jnp.uint32)
+    bits = jnp.where(iszero, s << jnp.uint32(31), bits)
+    return jax.lax.bitcast_convert_type(bits.astype(jnp.int32),
+                                        jnp.float32)
