@@ -310,6 +310,138 @@ def _raster_add_impl(corners_u, corners_v, plane_bits, pvalid, paint_idx,
     return dp, valid, covered_px
 
 
+# ---------------------------------------------------------------------------
+# v3: coefficients computed ON DEVICE from (support, triangle) indices
+# ---------------------------------------------------------------------------
+
+def tri_wire(support: np.ndarray, tri: np.ndarray):
+    """Host: order triangle rows by top image row (raster slab locality)
+    and keep the ORIGINAL index as the paint order. Everything else the
+    old coefficient wire computed on host (corner sort, slopes, f64 plane
+    fit, grids) now runs on device (_tri_coeffs_impl / _grid_impl), so the
+    wire is just vertex indices: ~8 B/triangle instead of ~35."""
+    if len(tri) == 0:
+        return np.zeros((0, 3), np.int16), np.zeros((0,), np.int16)
+    vmin = support[tri, 1].min(axis=1)
+    o = np.argsort(vmin, kind="stable")
+    return (np.ascontiguousarray(tri[o], np.int16),
+            o.astype(np.int16))
+
+
+def pad_tri_wire(tri: np.ndarray, paint: np.ndarray, Tp: int):
+    """Pad to Tp rows. Padded rows index support[0] three times: equal
+    corners give an empty column span, so they never rasterize; the grid
+    ignores triangles entirely."""
+    T = len(tri)
+    if T >= Tp:
+        return tri, paint
+    return (np.pad(tri, ((0, Tp - T), (0, 0))),
+            np.pad(paint, (0, Tp - T), constant_values=-1))
+
+
+def _corner_sort_dev(tu, tv):
+    """The reference's literal pairwise swap sequence (elas.cpp:847-854) on
+    integer corner coords [T, 3] — f32 compares of exact ints == int
+    compares."""
+    import jax.numpy as jnp
+
+    cu = [tu[:, 0], tu[:, 1], tu[:, 2]]
+    cv = [tv[:, 0], tv[:, 1], tv[:, 2]]
+    for j, k in ((1, 0), (2, 0), (2, 1)):
+        sw = cu[k] > cu[j]
+        for cols in (cu, cv):
+            a, b = cols[k], cols[j]
+            cols[k] = jnp.where(sw, b, a)
+            cols[j] = jnp.where(sw, a, b)
+    return jnp.stack(cu, 1), jnp.stack(cv, 1)
+
+
+def _tri_coeffs_impl(support, tri, right: bool):
+    """Device twin of prior_coeff_wire minus the host fit: support [N, 3]
+    i32, tri [T, 3] i32 -> (corners_u [T,3] i32, corners_v [T,2] i32,
+    slope_bits [T,3] i32, plane_bits [T,3] i32, pvalid [T] bool).
+
+    Slopes are correctly-rounded f32 quotients of integer differences
+    (softfloat.f32_div_int == x86 divss); the plane fit is the softfloat
+    f64 Gauss-Jordan (device_fit). Trace under jax.enable_x64(True).
+    """
+    import jax
+    import jax.numpy as jnp
+    from ...ops import softfloat as sf
+    from .device_fit import _fit_planes_impl
+
+    u = support[tri, 0]
+    v = support[tri, 1]
+    d = support[tri, 2]
+    tu = (u - d) if right else u
+    tu, tv = _corner_sort_dev(tu.astype(jnp.int32), v.astype(jnp.int32))
+    A_u, B_u, C_u = tu[:, 0], tu[:, 1], tu[:, 2]
+    A_v, B_v = tv[:, 0], tv[:, 1]
+
+    def slope(dv_, du_):
+        q = sf.f32_div_int(dv_, jnp.where(du_ == 0, 1, du_))
+        return jnp.where(du_ != 0, q, jnp.float32(0.0))
+
+    AC_a = slope(A_v - tv[:, 2], A_u - C_u)
+    AB_a = slope(A_v - B_v, A_u - B_u)
+    BC_a = slope(B_v - tv[:, 2], B_u - C_u)
+
+    planes = _fit_planes_impl(support, tri)          # [T, 6] f32
+    if right:
+        pa, pb, pc, pother = (planes[:, 3], planes[:, 4], planes[:, 5],
+                              planes[:, 0])
+    else:
+        pa, pb, pc, pother = (planes[:, 0], planes[:, 1], planes[:, 2],
+                              planes[:, 3])
+    pvalid = (jnp.abs(pa) < 0.7) & (jnp.abs(pother) < 0.7)
+    sbits = jax.lax.bitcast_convert_type(
+        jnp.stack([AC_a, AB_a, BC_a], 1), jnp.int32)
+    pbits = jax.lax.bitcast_convert_type(
+        jnp.stack([pa, pb, pc], 1), jnp.int32)
+    corners_u = jnp.stack([A_u, B_u, C_u], 1)
+    corners_v = jnp.stack([A_v, B_v], 1)
+    return corners_u, corners_v, sbits, pbits, pvalid
+
+
+def _grid_impl(support, right: bool, *, gs, gh, gw, disp_max):
+    """createGrid (elas.cpp:579-659) on device: candidate marking as ONE
+    one-hot matmul (MXU) + d+/-1 shifts + the flat 3x3 OR-diffusion
+    including its row-wrap quirk. support [N, 3] i32; padded rows carry
+    d = -1 and are masked out. Returns bool [gh, gw, disp_max+1]."""
+    import jax
+    import jax.numpy as jnp
+
+    D = disp_max + 1
+    G = gh * gw
+    u = support[:, 0].astype(jnp.int32)
+    v = support[:, 1].astype(jnp.int32)
+    d = support[:, 2].astype(jnp.int32)
+    x = (u - d) // gs if right else u // gs
+    y = v // gs
+    ok = (x >= 0) & (x < gw) & (y >= 0) & (y < gh) & (d >= 0)
+    cell = jnp.clip(y * gw + x, 0, G - 1)
+    onehot_c = ((cell[:, None] == jnp.arange(G, dtype=jnp.int32)[None, :])
+                & ok[:, None])                            # [N, G]
+    onehot_d = (d[:, None] == jnp.arange(D, dtype=jnp.int32)[None, :])
+    counts = jnp.dot(onehot_c.astype(jnp.float32).T,
+                     onehot_d.astype(jnp.float32),
+                     precision="highest")                 # [G, D]
+    base = counts > 0
+    # d-1 / d+1 marking (clamped at both ends == plain shifts)
+    t1 = base
+    t1 = t1.at[:, :-1].set(t1[:, :-1] | base[:, 1:])
+    t1 = t1.at[:, 1:].set(t1[:, 1:] | base[:, :-1])
+    # flat 3x3 OR diffusion with stride gw (wraps across grid rows —
+    # reproduced from the reference's flat-array loop)
+    m = G - 2 * gw - 2
+    acc = jnp.zeros((m, D), bool)
+    for off in (0, 1, 2, gw, gw + 1, gw + 2,
+                2 * gw, 2 * gw + 1, 2 * gw + 2):
+        acc = acc | jax.lax.slice_in_dim(t1, off, off + m, axis=0)
+    out = jnp.zeros((G, D), bool).at[gw + 1:G - gw - 1].set(acc)
+    return out.reshape(gh, gw, D)
+
+
 _JITS = {}
 
 

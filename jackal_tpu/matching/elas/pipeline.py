@@ -76,29 +76,19 @@ def _front_impl(lb, rb, st: _Static):
     return d1, d2, dcan
 
 
-def _unpackbits_dev(packed, width):
-    """[..., Wb] uint8 -> [..., width] bool (little bit order)."""
-    import jax.numpy as jnp
-
-    bits = (packed[..., :, None].astype(jnp.int32)
-            >> jnp.arange(8, dtype=jnp.int32)) & 1
-    out = bits.reshape(packed.shape[:-1] + (packed.shape[-1] * 8,))
-    return out[..., :width].astype(bool)
-
-
 def _dense_post_impl(d1, d2, dp1, va1, cv1, g1, dp2, va2, cv2, g2,
                      st: _Static):
     """Dense match from DEVICE-computed prior maps (device_prior.py) +
     the FULL device postprocess chain (L/R check, speckle CC, gaps,
     adaptive mean, median) in one dispatch. The device speckle
     (post.remove_small_segments) is bit-identical to the reference BFS,
-    so no disparity wire ever leaves the device."""
+    so no disparity wire ever leaves the device. Grids g1/g2 arrive as
+    device bool [B, gh, gw, D] (computed on device, device_prior._grid_impl)."""
     import jax
 
     p = st.params
-    D = p.disp_max + 1
-    m1 = (dp1, va1, cv1, _unpackbits_dev(g1, D))
-    m2 = (dp2, va2, cv2, _unpackbits_dev(g2, D))
+    m1 = (dp1, va1, cv1, g1)
+    m2 = (dp2, va2, cv2, g2)
     if st.use_pallas and not p.subsampling:
         from ...ops.pallas.elas_dense_kernel import elas_dense_pallas
         D1 = elas_dense_pallas(d1, d2, *m1, p, False)
@@ -250,158 +240,150 @@ def elas_match(
     return np.asarray(D1), np.asarray(D2)
 
 
-def _prior_coeff_job(dcan_b, params, W, H, use_native):
-    """Host prior for one frame -> per-TRIANGLE coefficient wire + bitpacked
-    candidate grids. The device rasterizes the plane maps itself
-    (device_prior.py), so the upload is ~45 B/triangle instead of
-    ~2.6 B/pixel — the decisive cut on tunnel-attached TPUs where the
-    host->device wire (~28 MB/s) bounds ELAS throughput."""
-    from .device_prior import prior_coeff_wire, sort_wire_rows
-    from .prior import create_grid
+def _prior_tri_job(dcan_b, params, W, H, use_native):
+    """Host prior for one frame, v3: support collection + the two Delaunay
+    triangulations ONLY. Everything the old coefficient wire computed on
+    host (f64 plane fit, corner sort, slope divisions, candidate grids) now
+    runs on device in bit-exact softfloat (device_prior._tri_coeffs_impl /
+    _grid_impl), so the wire is just (support, vertex indices): ~8
+    B/triangle + 6 B/point ≈ 55 KB/frame instead of ~320 KB — the upload
+    was the ELAS throughput bound on tunnel-attached TPUs (~10 ms/MB)."""
+    from .device_prior import tri_wire
 
-    gs = params.grid_size
-    gh, gw = -(-H // gs), -(-W // gs)
-    Db = params.disp_max + 1
     if use_native:
         support = collect_support_points_native(dcan_b, params, W, H)
     else:
         support = collect_support_points(dcan_b, params, W, H)
-    no_tri = np.zeros((0, 3), np.int32)
     if len(support) < 3:
-        # reference bail-out semantics (elas.cpp:66-71): uncovered
-        # everywhere -> the dense matcher emits all -10
-        sp3 = np.zeros((3, 3), np.int32)
-        empty = prior_coeff_wire(sp3, no_tri, False)
-        zg = np.zeros((gh, gw, Db // 8), np.uint8)
-        return empty, empty, zg, zg.copy()
+        # reference bail-out semantics (elas.cpp:66-71): no triangles ->
+        # uncovered everywhere -> the dense matcher emits all -10
+        e3 = np.zeros((0, 3), np.int16)
+        e1 = np.zeros((0,), np.int16)
+        return np.zeros((0, 3), np.int16), e3, e1, e3.copy(), e1.copy()
     left_pts = support[:, :2].astype(np.float32)
     right_pts = np.stack(
         [support[:, 0] - support[:, 2], support[:, 1]], -1
     ).astype(np.float32)
-    t1 = delaunay(left_pts)
-    t2 = delaunay(right_pts)
-    if use_native:
-        from .native_prior import build_grid_native, fit_planes_native
-        w1 = prior_coeff_wire(support, t1, False, fit_planes_native)
-        w2 = prior_coeff_wire(support, t2, True, fit_planes_native)
-        g1 = build_grid_native(support, W, H, False, params)
-        g2 = build_grid_native(support, W, H, True, params)
-    else:
-        w1 = prior_coeff_wire(support, t1, False)
-        w2 = prior_coeff_wire(support, t2, True)
-        g1 = create_grid(support, W, H, False, params)
-        g2 = create_grid(support, W, H, True, params)
-    g1p = np.packbits(g1, axis=-1, bitorder="little")
-    g2p = np.packbits(g2, axis=-1, bitorder="little")
-    # top-row sort: lets the device raster paint short row slabs
-    # (paint_idx preserves winner-takes-last order independence)
-    return sort_wire_rows(w1), sort_wire_rows(w2), g1p, g2p
+    t1, p1 = tri_wire(support, delaunay(left_pts))
+    t2, p2 = tri_wire(support, delaunay(right_pts))
+    return support.astype(np.int16), t1, p1, t2, p2
 
 
-def _chunk_pad_T(wires) -> int:
-    """Triangle-count pad for a chunk, laddered to bound retraces."""
-    Tm = max(max(len(w[0].corners_u), len(w[1].corners_u), 1)
-             for w in wires)
-    return -(-Tm // 512) * 512
+def _pad_up(n: int, step: int = 512) -> int:
+    return -(-max(n, 1) // step) * step
 
 
-def _flatten_chunk_wire(wires, Tp) -> np.ndarray:
-    """ONE int32 buffer for a whole chunk: both sides' padded coefficient
-    arrays + the bitpacked candidate grids, in a fixed slice order the
-    device unflattens (_raster_chunk). On tunnel-attached TPUs every
-    host->device transfer pays ~25 ms RTT and ~15-30 MB/s, so BOTH
-    transfer count and bytes bound ELAS throughput; this is one upload of
-    ~35 B/triangle + grids per chunk."""
-    from .device_prior import pad_coeff_wire
+def _chunk_pads(wires):
+    """(Np, Tp) pads for a chunk, laddered to bound retraces."""
+    Np = _pad_up(max(len(w[0]) for w in wires))
+    Tp = _pad_up(max(max(len(w[1]), len(w[3])) for w in wires))
+    return Np, Tp
+
+
+def _flatten_chunk_wire(wires, Np, Tp) -> np.ndarray:
+    """ONE int32 buffer for a whole chunk: padded support triples + both
+    sides' padded (triangle, paint) index arrays, all int16. On
+    tunnel-attached TPUs every host->device transfer pays ~25 ms RTT, so
+    both transfer COUNT and bytes matter; this is one upload of ~55
+    KB/frame. Padded support rows carry d = -1 (grid-masked); padded
+    triangle rows index support[0] thrice (empty raster span)."""
+    from .device_prior import pad_tri_wire
 
     parts = []
-    for side in (0, 1):
-        ws = [pad_coeff_wire(w[side], Tp) for w in wires]
-        parts.append(np.stack([x.corners_u for x in ws])
-                     .reshape(-1).view(np.int32))           # int16 pairs
-        parts.append(np.stack([x.corners_v for x in ws])
-                     .reshape(-1).view(np.int32))
-        parts.append(np.stack([x.slope_bits for x in ws]).ravel())
-        parts.append(np.stack([x.plane_bits for x in ws]).ravel())
-        parts.append(np.stack([x.pvalid for x in ws])
-                     .reshape(-1).view(np.int32))           # uint8 quads
-        parts.append(np.stack([x.paint_idx for x in ws])
-                     .reshape(-1).view(np.int32))           # int16 pairs
-    for gi in (2, 3):
-        g = np.stack([w[gi] for w in wires])    # [CH, gh, gw, Db//8] u8
-        parts.append(np.ascontiguousarray(g).reshape(-1).view(np.int32))
+    sp = np.zeros((len(wires), Np, 3), np.int16)
+    sp[:, :, 2] = -1
+    for i, w in enumerate(wires):
+        sp[i, :len(w[0])] = w[0]
+    parts.append(sp.reshape(-1).view(np.int32))
+    for ti, pi in ((1, 2), (3, 4)):
+        tris = np.zeros((len(wires), Tp, 3), np.int16)
+        paints = np.zeros((len(wires), Tp), np.int16)
+        for i, w in enumerate(wires):
+            t, p = pad_tri_wire(w[ti], w[pi], Tp)
+            tris[i], paints[i] = t, p
+        parts.append(tris.reshape(-1).view(np.int32))
+        parts.append(paints.reshape(-1).view(np.int32))
     return np.concatenate(parts).astype(np.int32, copy=False)
 
 
 _RASTER_JITS = {}
 
 
-def _raster_chunk(flat_dev, CH, Tp, gh, gw, Db, W, H):
-    """Unflatten one chunk wire on device and rasterize both sides' prior
-    maps (device_prior._prior_maps_impl, bit-exact plain f32). Returns
-    ((dp, valid, covered) x2, grid u8 x2) — all device arrays."""
+def _raster_chunk(flat_dev, CH, Np, Tp, gh, gw, Db, W, H, gs):
+    """Unflatten one chunk wire on device, compute the per-triangle
+    coefficients (softfloat f64 plane fit + correctly-rounded f32 slopes),
+    build the candidate grids, and rasterize both sides' prior maps —
+    bit-exact to the host engine. Returns ((dp, valid, covered) x2,
+    grid bool x2), all device arrays, in THREE dispatches: coeffs+grids
+    (traced under x64 for the softfloat int64 lanes), raster multiplies,
+    raster adds (the mul/add split forbids FMA contraction on XLA:CPU —
+    see device_prior._raster_mul_impl)."""
     import jax
 
-    key = (CH, Tp, gh, gw, Db, W, H)
+    key = (CH, Np, Tp, gh, gw, Db, W, H, gs)
     if key not in _RASTER_JITS:
         import jax.numpy as jnp
         from functools import partial
-        from .device_prior import _raster_add_impl, _raster_mul_impl
+        from .device_prior import (_grid_impl, _raster_add_impl,
+                                   _raster_mul_impl, _tri_coeffs_impl)
 
         def unflat(flat):
             pos = [0]
 
-            def take(n, dtype=None):
+            def take(n):
                 x = jax.lax.slice_in_dim(flat, pos[0], pos[0] + n)
                 pos[0] += n
-                if dtype is not None:
-                    x = jax.lax.bitcast_convert_type(x, dtype)
-                return x
+                return jax.lax.bitcast_convert_type(x, jnp.int16)
 
+            sp = take(CH * Np * 3 // 2).reshape(CH, Np, 3) \
+                .astype(jnp.int32)
             sides = []
             for _ in range(2):
-                cu = take(CH * Tp * 3 // 2, jnp.int16).reshape(CH, Tp, 3)
-                cv = take(CH * Tp, jnp.int16).reshape(CH, Tp, 2)
-                sb = take(CH * Tp * 3).reshape(CH, Tp, 3)
-                pb = take(CH * Tp * 3).reshape(CH, Tp, 3)
-                pv = take(CH * Tp // 4, jnp.uint8).reshape(CH, Tp) \
-                    .astype(bool)
-                pidx = take(CH * Tp // 2, jnp.int16).reshape(CH, Tp)
-                sides.append((cu, cv, sb, pb, pv, pidx))
-            grids = []
-            for _ in range(2):
-                u8 = take(CH * gh * gw * (Db // 8) // 4, jnp.uint8)
-                grids.append(u8.reshape(CH, gh, gw, Db // 8))
-            return sides, grids
+                tri = take(CH * Tp * 3 // 2).reshape(CH, Tp, 3) \
+                    .astype(jnp.int32)
+                paint = take(CH * Tp // 2).reshape(CH, Tp)
+                sides.append((tri, paint))
+            return sp, sides
 
-        # two dispatches — multiplies and adds must not share an
-        # executable or XLA:CPU contracts them into single-rounding FMAs
-        # (see device_prior._raster_mul_impl)
-        def muls(flat):
-            sides, _ = unflat(flat)
-            mul = jax.vmap(partial(_raster_mul_impl, W=W, H=H))
-            return (mul(sides[0][0], sides[0][2], sides[0][3]),
-                    mul(sides[1][0], sides[1][2], sides[1][3]))
+        def coeffs(flat):
+            with jax.enable_x64(True):
+                sp, sides = unflat(flat)
+                out = []
+                for (tri, paint), right in zip(sides, (False, True)):
+                    cu, cv, sb, pb, pv = jax.vmap(
+                        partial(_tri_coeffs_impl, right=right))(sp, tri)
+                    grid = jax.vmap(partial(
+                        _grid_impl, right=right, gs=gs, gh=gh, gw=gw,
+                        disp_max=Db - 1))(sp)
+                    out.append((cu.astype(jnp.int16), cv.astype(jnp.int16),
+                                sb, pb, pv, paint, grid))
+                return tuple(out)
 
-        def adds(flat, prods):
-            sides, grids = unflat(flat)
+        def muls(side):
+            cu, cv, sb, pb, pv, paint, grid = side
+            return jax.vmap(partial(_raster_mul_impl, W=W, H=H))(
+                cu, sb, pb)
+
+        def adds(side, pr):
+            cu, cv, sb, pb, pv, pidx, grid = side
             impl = partial(_raster_add_impl, W=W, H=H)
-
             # lax.map, NOT vmap: the raster's short-slab/full-height
             # lax.cond stays a real branch per frame (vmap would execute
             # both branches for every frame)
-            def add(side, pr):
-                cu, cv, sb, pb, pv, pidx = side
-                return jax.lax.map(
-                    lambda a: impl(a[0], a[1], a[2], a[3], a[4], *a[5:]),
-                    (cu, cv, pb, pv, pidx, *pr))
+            return jax.lax.map(
+                lambda a: impl(a[0], a[1], a[2], a[3], a[4], *a[5:]),
+                (cu, cv, pb, pv, pidx, *pr))
 
-            return (add(sides[0], prods[0]), add(sides[1], prods[1]),
-                    grids[0], grids[1])
+        def rasters(s1, s2, pr1, pr2):
+            return adds(s1, pr1), adds(s2, pr2)
 
-        _RASTER_JITS[key] = (jax.jit(muls), jax.jit(adds))
-    mul_jit, add_jit = _RASTER_JITS[key]
-    return add_jit(flat_dev, mul_jit(flat_dev))
+        _RASTER_JITS[key] = (jax.jit(coeffs),
+                             jax.jit(muls), jax.jit(rasters))
+    coeff_jit, mul_jit, add_jit = _RASTER_JITS[key]
+    with jax.enable_x64(True):
+        s1, s2 = coeff_jit(flat_dev)
+    m1, m2 = add_jit(s1, s2, mul_jit(s1), mul_jit(s2))
+    return m1, m2, s1[6], s2[6]
 
 
 def elas_match_batch_device(
@@ -414,15 +396,15 @@ def elas_match_batch_device(
     """Batched ELAS returning DEVICE arrays [B, H, W] float32.
 
     Tunnel-minimal design: per batch there is ONE download (the support
-    candidate grids, ~24 KB/frame) and ONE upload per chunk (the flat
-    per-triangle coefficient wire, ~0.4 MB/frame); the prior maps are
-    rasterized on device with bit-exact softfloat (device_prior.py) and
-    the ENTIRE postprocess chain — including the speckle connected
-    components the reference does as a host BFS — runs on device, so no
-    disparity data ever crosses the wire. Host work (support pruning,
-    Delaunay, plane fit — all O(support)) is pipelined: while the device
-    rasterizes + matches chunk k, the host (one core here) prepares the
-    coefficients of chunk k+1.
+    candidate grids, ~24 KB/frame) and ONE upload per chunk (support
+    triples + triangle vertex indices, ~55 KB/frame); the plane fit,
+    slope divisions, candidate grids and prior rasterization all run on
+    device in bit-exact softfloat/f32 (device_prior.py) and the ENTIRE
+    postprocess chain — including the speckle connected components the
+    reference does as a host BFS — runs on device, so no disparity data
+    ever crosses the wire. Host work (support pruning + Delaunay, the
+    only stages left) is pipelined: while the device processes chunk k,
+    the host (one core here) triangulates chunk k+1.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -451,22 +433,22 @@ def elas_match_batch_device(
         frames' host priors are done — the transfer (GIL-released) then
         overlaps the host prior work of later chunks on this 1-core box."""
         wires = [prior_futs[b].result() for b in range(c0, c0 + chunk)]
-        Tp = _chunk_pad_T(wires)
-        return jnp.asarray(_flatten_chunk_wire(wires, Tp)), Tp
+        Np, Tp = _chunk_pads(wires)
+        return jnp.asarray(_flatten_chunk_wire(wires, Np, Tp)), Np, Tp
 
     outs = []
     with ThreadPoolExecutor(max_workers=3) as pool:
         prior_futs = [
-            pool.submit(_prior_coeff_job, dcan[b], params, W, H, use_native)
+            pool.submit(_prior_tri_job, dcan[b], params, W, H, use_native)
             for b in range(B)]
         # upload jobs are queued AFTER every prior job, so pool workers
         # always have runnable priors ahead of a blocking result() wait
         up_futs = [pool.submit(upload_chunk, prior_futs, c0)
                    for c0 in range(0, B, chunk)]
         for c0, uf in zip(range(0, B, chunk), up_futs):
-            flat, Tp = uf.result()
-            m1, m2, g1, g2 = _raster_chunk(flat, chunk, Tp, gh, gw, Db,
-                                           W, H)
+            flat, Np, Tp = uf.result()
+            m1, m2, g1, g2 = _raster_chunk(flat, chunk, Np, Tp, gh, gw,
+                                           Db, W, H, gs)
             sl = slice(c0, c0 + chunk)
             outs.append(
                 _dense_post(d1[sl], d2[sl], *m1, g1, *m2, g2, static))

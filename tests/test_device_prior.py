@@ -76,6 +76,78 @@ def test_empty_and_tiny_triangulations():
     assert not np.asarray(covered).any()
 
 
+@pytest.mark.parametrize("right", [False, True])
+def test_device_tri_coeffs_match_host_wire(right):
+    """v3: coefficients computed on device from (support, tri) indices —
+    softfloat f64 plane fit + correctly-rounded f32 slope divisions —
+    must equal the host prior_coeff_wire bitwise; the device one-hot-
+    matmul grid must equal create_grid exactly."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from jackal_tpu.matching.elas.device_prior import (
+        _grid_impl, _tri_coeffs_impl)
+    from jackal_tpu.matching.elas.prior import create_grid
+
+    pytest.importorskip("jackal_tpu.native")
+    from jackal_tpu.native import available
+    if not available():
+        pytest.skip("native engine unavailable")
+    from jackal_tpu.matching.elas.native_prior import fit_planes_native
+
+    support, W, H = _case_support("elas_golden_s320_boxes.npz")
+    pts = (np.stack([support[:, 0] - support[:, 2], support[:, 1]], -1)
+           if right else support[:, :2]).astype(np.float32)
+    tri = delaunay(pts)
+    # the production fit: native full-pivot Gauss-Jordan (the numpy
+    # LAPACK default rounds differently and is only RMSE-close)
+    want = prior_coeff_wire(support, tri, right, fit_planes_native)
+
+    def traced(sp, t):
+        with jax.enable_x64(True):
+            return _tri_coeffs_impl(sp, t, right)
+    with jax.enable_x64(True):
+        cu, cv, sb, pb, pv = jax.jit(traced)(
+            jnp.asarray(support, jnp.int32), jnp.asarray(tri, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(cu),
+                                  want.corners_u.astype(np.int32))
+    np.testing.assert_array_equal(np.asarray(cv),
+                                  want.corners_v.astype(np.int32))
+    np.testing.assert_array_equal(np.asarray(sb), want.slope_bits)
+    np.testing.assert_array_equal(np.asarray(pb), want.plane_bits)
+    np.testing.assert_array_equal(np.asarray(pv), want.pvalid.astype(bool))
+
+    p = ElasParams()
+    gs = p.grid_size
+    gh, gw = -(-H // gs), -(-W // gs)
+    grid = jax.jit(partial(_grid_impl, right=right, gs=gs, gh=gh, gw=gw,
+                           disp_max=p.disp_max))(
+        jnp.asarray(support, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(grid),
+                                  create_grid(support, W, H, right, p))
+
+
+def test_device_grid_masks_padded_support():
+    """Padded support rows (d = -1) must not mark any grid cell."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from jackal_tpu.matching.elas.device_prior import _grid_impl
+    from jackal_tpu.matching.elas.prior import create_grid
+
+    p = ElasParams()
+    support = np.array([[40, 40, 10], [80, 40, 12], [60, 80, 11]], np.int32)
+    padded = np.concatenate(
+        [support, np.array([[0, 0, -1]] * 5, np.int32)])
+    gs = p.grid_size
+    W = H = 120
+    gh, gw = -(-H // gs), -(-W // gs)
+    grid = jax.jit(partial(_grid_impl, right=False, gs=gs, gh=gh, gw=gw,
+                           disp_max=p.disp_max))(jnp.asarray(padded))
+    np.testing.assert_array_equal(np.asarray(grid),
+                                  create_grid(support, W, H, False, p))
+
+
 def test_sorted_wire_preserves_paint_order():
     """sort_wire_rows reorders triangles by top row (the raster's
     short-slab locality optimization); paint_idx must keep the painted

@@ -59,16 +59,16 @@ def main():
     t["dcan download"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    wires = [P._prior_coeff_job(dcan[b], params, W, H, True)
+    wires = [P._prior_tri_job(dcan[b], params, W, H, True)
              for b in range(B)]
-    t["host coeffs x16 serial"] = time.perf_counter() - t0
+    t["host prior x16 serial"] = time.perf_counter() - t0
 
-    Tp = P._chunk_pad_T(wires)
+    Np, Tp = P._chunk_pads(wires)
     t0 = time.perf_counter()
-    flats = [P._flatten_chunk_wire(wires[c:c + CH], Tp)
+    flats = [P._flatten_chunk_wire(wires[c:c + CH], Np, Tp)
              for c in range(0, B, CH)]
     t["host flatten x4"] = time.perf_counter() - t0
-    print(f"  (Tp={Tp}, wire {flats[0].nbytes/1e3:.0f} KB/chunk)")
+    print(f"  (Np={Np}, Tp={Tp}, wire {flats[0].nbytes/1e3:.0f} KB/chunk)")
 
     t0 = time.perf_counter()
     fdevs = [jnp.asarray(f) for f in flats]
@@ -78,9 +78,10 @@ def main():
     maps = [None]
 
     def raster():
-        maps[0] = [P._raster_chunk(fd, CH, Tp, gh, gw, Db, W, H)
+        maps[0] = [P._raster_chunk(fd, CH, Np, Tp, gh, gw, Db, W, H,
+                                   params.grid_size)
                    for fd in fdevs]
-    t["device raster x4 chunks"] = dev_time(raster, maps, iters=2)
+    t["device coeff+raster x4"] = dev_time(raster, maps, iters=2)
 
     outs = [None]
 

@@ -37,11 +37,12 @@ def main():
     sync(D1o)
     d1, d2, dcan_dev = P._front(lb, rb, static)
     dcan = np.asarray(dcan_dev)
-    wires = [P._prior_coeff_job(dcan[b], params, W, H, True)
+    wires = [P._prior_tri_job(dcan[b], params, W, H, True)
              for b in range(B)]
-    Tp = P._chunk_pad_T(wires)
-    flat = jnp.asarray(P._flatten_chunk_wire(wires, Tp))
-    m1, m2, g1, g2 = P._raster_chunk(flat, CH, Tp, gh, gw, Db, W, H)
+    Np, Tp = P._chunk_pads(wires)
+    flat = jnp.asarray(P._flatten_chunk_wire(wires, Np, Tp))
+    m1, m2, g1, g2 = P._raster_chunk(flat, CH, Np, Tp, gh, gw, Db, W, H,
+                                     params.grid_size)
 
     def bench(label, jit_fn, *args, n=6):
         out = jit_fn(*args)
@@ -62,8 +63,8 @@ def main():
     from jackal_tpu.ops.pallas.elas_dense_kernel import elas_dense_pallas
 
     def dense_only(d1, d2, m1, m2):
-        mm1 = (m1[0], m1[1], m1[2], P._unpackbits_dev(g1, Db))
-        mm2 = (m2[0], m2[1], m2[2], P._unpackbits_dev(g2, Db))
+        mm1 = (m1[0], m1[1], m1[2], g1)
+        mm2 = (m2[0], m2[1], m2[2], g2)
         A = elas_dense_pallas(d1, d2, *mm1, params, False)
         Bv = elas_dense_pallas(d1, d2, *mm2, params, True)
         return A, Bv
