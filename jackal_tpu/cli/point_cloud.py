@@ -74,7 +74,7 @@ def main(argv=None) -> int:
     from ..io_bus.camera import open_source
     from ..io_bus.timelog import TimeLogWriter
     from ..pipeline.default import make_pipeline
-    from ..scan.obstacle import format_laser_scan_ranges
+    from ..scan.obstacle import compact_cloud_msg, format_laser_scan_ranges
 
     pp = PipelineParams(
         gen_pcl=args.gen_pcl, logging=args.logging,
@@ -112,12 +112,16 @@ def main(argv=None) -> int:
         print(f"Rotation matrix: {np.asarray(pipe.XR32)}")
         print(f"Translation matrix: {np.asarray(pipe.XT32)}")
 
-    source = open_source(args.source, n_synthetic=args.frames)
+    # gen-pcl feeds the LEFT COLOR frame into the cloud RGB packing
+    # (point_cloud.cpp:356-383)
+    source = open_source(args.source, n_synthetic=args.frames,
+                         want_color=args.gen_pcl)
     stream = iter(source)
 
     bus = TopicBus()
     disp_pub = bus.advertise("/webcam/left/depth_map")
     scan_pub = bus.advertise("/webcam/left/obstacle_scan")
+    pcl_pub = bus.advertise("/webcam/left/point_cloud")
     tl_pub = bus.advertise("/jackal/time_log")
     bus.advertise("/visualization_marker")   # parity: point_cloud.cpp:524
     bridge = None
@@ -127,13 +131,16 @@ def main(argv=None) -> int:
             bus, args.bus,
             publish_topics=("/webcam/left/depth_map",
                             "/webcam/left/obstacle_scan",
+                            "/webcam/left/point_cloud",
                             "/jackal/time_log"))
         print(f"bridged to broker at {args.bus}", flush=True)
     writer = TimeLogWriter(args.dmap_file, args.pcl_file, args.scan_file)
 
     dmaps, scans = [], []
     seq = 0
-    for i, (left, right) in enumerate(stream):
+    for i, frame in enumerate(stream):
+        left, right, *rest = frame
+        color = rest[0] if rest else None
         if i >= args.frames:
             break
         if args.delay:
@@ -141,9 +148,13 @@ def main(argv=None) -> int:
             time.sleep(args.delay)
         if args.calib_extrinsic and args.reconfig:
             poll_reconfig()
-        fr = pipe.process_frame(left, right, timing=args.logging)
+        fr = pipe.process_frame(left, right, color_bgr=color,
+                                timing=args.logging)
         disp_pub.publish(Image(Header.now(seq, "jackal"),
                                *fr.dmap.shape, "mono8", fr.dmap))
+        if args.gen_pcl and fr.cloud is not None:
+            pcl_pub.publish(compact_cloud_msg(
+                Header.now(seq, "jackal"), fr.cloud))
         ranges = format_laser_scan_ranges(np.asarray(fr.scan.scan))
         scan_pub.publish(LaserScan(
             Header.now(seq, "jackal"),

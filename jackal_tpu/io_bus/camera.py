@@ -240,6 +240,55 @@ class V4L2Camera:
         from .replay import decode_jpeg_gray
         return decode_jpeg_gray(bytes(raw))
 
+    def read_gray_bgr(self, timeout: float = 2.0):
+        """Dequeue one frame as (gray [H,W], bgr [H,W,3]) uint8 — the
+        color plane feeds the gen-pcl cloud's packed-RGB channel. YUYV is
+        converted with integer BT.601 (the uvc webcam wire format); GREY
+        replicates; MJPG decodes color."""
+        r, _, _ = select.select([self.fd], [], [], timeout)
+        if not r:
+            return None
+        buf = v4l2_buffer()
+        buf.type = V4L2_BUF_TYPE_VIDEO_CAPTURE
+        buf.memory = V4L2_MEMORY_MMAP
+        try:
+            fcntl.ioctl(self.fd, VIDIOC_DQBUF, buf)
+        except OSError:
+            return None
+        try:
+            raw = bytes(self.buffers[buf.index][:buf.bytesused])
+        finally:
+            fcntl.ioctl(self.fd, VIDIOC_QBUF, buf)
+        H, W = self.height, self.width
+        if self.pixfmt == "YUYV":
+            if len(raw) < W * H * 2:
+                return None
+            arr = np.frombuffer(raw, np.uint8, count=W * H * 2) \
+                .reshape(H, W, 2)
+            y = arr[:, :, 0].astype(np.int32)
+            uv = arr[:, :, 1].reshape(H, W // 2, 2).astype(np.int32) - 128
+            u = np.repeat(uv[:, :, 0], 2, axis=1)
+            v = np.repeat(uv[:, :, 1], 2, axis=1)
+            # integer BT.601 (x256 fixed point)
+            r_ = y + ((359 * v) >> 8)
+            g_ = y - ((88 * u + 183 * v) >> 8)
+            b_ = y + ((454 * u) >> 8)
+            bgr = np.stack([b_, g_, r_], axis=-1)
+            return (arr[:, :, 0].copy(),
+                    np.clip(bgr, 0, 255).astype(np.uint8))
+        if self.pixfmt == "GREY":
+            if len(raw) < W * H:
+                return None
+            g = np.frombuffer(raw, np.uint8, count=W * H).reshape(H, W) \
+                .copy()
+            return g, np.repeat(g[..., None], 3, axis=-1)
+        from .replay import decode_jpeg_bgr, decode_jpeg_gray
+        g = decode_jpeg_gray(raw)
+        c = decode_jpeg_bgr(raw)
+        if g is None or c is None:
+            return None
+        return g, c
+
     def close(self) -> None:
         try:
             fcntl.ioctl(self.fd, VIDIOC_STREAMOFF, s32(
@@ -264,7 +313,9 @@ class V4L2StereoCamera:
     unsynchronized latest-right-frame behavior (SURVEY §5 race note)."""
 
     def __init__(self, dev_left: str, dev_right: str, width: int = 640,
-                 height: int = 360, fps: int = 60, pixfmt: str = "YUYV"):
+                 height: int = 360, fps: int = 60, pixfmt: str = "YUYV",
+                 want_color: bool = False):
+        self.want_color = want_color
         self.left = V4L2Camera(dev_left, width, height, fps, pixfmt)
         try:
             self.right = V4L2Camera(dev_right, width, height, fps, pixfmt)
@@ -272,8 +323,15 @@ class V4L2StereoCamera:
             self.left.close()
             raise
 
-    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, ...]]:
         while True:
+            if self.want_color:
+                lc = self.left.read_gray_bgr()
+                rf = self.right.read_gray()
+                if lc is None or rf is None:
+                    return
+                yield lc[0], rf, lc[1]
+                continue
             lf = self.left.read_gray()
             rf = self.right.read_gray()
             if lf is None or rf is None:
@@ -305,14 +363,18 @@ def parse_v4l2_spec(spec: str):
     return devs[0], devs[1], opts
 
 
-def open_source(spec: str, n_synthetic: int = 64):
-    """Resolve a --source spec to an iterable of (left, right) pairs."""
+def open_source(spec: str, n_synthetic: int = 64,
+                want_color: bool = False):
+    """Resolve a --source spec to an iterable of (left, right) pairs, or
+    (left, right, color_bgr) triples when want_color (gen-pcl mode feeds
+    the left color frame into the cloud RGB channel)."""
     from .replay import StereoReplaySource, synthetic_stream
 
     if spec.startswith("synthetic"):
         _, _, n = spec.partition(":")
-        return synthetic_stream(int(n) if n else n_synthetic)
+        return synthetic_stream(int(n) if n else n_synthetic,
+                                want_color=want_color)
     if spec.startswith("v4l2:"):
         dl, dr, opts = parse_v4l2_spec(spec)
-        return V4L2StereoCamera(dl, dr, **opts)
-    return StereoReplaySource(spec)
+        return V4L2StereoCamera(dl, dr, want_color=want_color, **opts)
+    return StereoReplaySource(spec, want_color=want_color)

@@ -31,6 +31,24 @@ def _imread_gray(path: str) -> np.ndarray:
         return np.asarray(Image.open(path).convert("L"))
 
 
+def _imread_bgr(path: str) -> np.ndarray:
+    """Color read in OpenCV BGR channel order (like leftim_res,
+    point_cloud.cpp:356-383). PGM has no color: replicate gray."""
+    if path.endswith(".pgm"):
+        g = load_pgm(path)
+        return np.repeat(g[..., None], 3, axis=-1)
+    try:
+        import cv2
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            raise ValueError(f"cannot read {path}")
+        return img
+    except ImportError:
+        from PIL import Image
+        rgb = np.asarray(Image.open(path).convert("RGB"))
+        return rgb[..., ::-1].copy()
+
+
 def decode_jpeg_gray(data: bytes) -> Optional[np.ndarray]:
     """cv::imdecode(..., GRAYSCALE) equivalent (point_cloud.cpp:436).
     Returns None on decode failure, like the reference's empty-Mat check.
@@ -51,12 +69,37 @@ def decode_jpeg_gray(data: bytes) -> Optional[np.ndarray]:
         return None
 
 
+def decode_jpeg_bgr(data: bytes) -> Optional[np.ndarray]:
+    """cv::imdecode(..., COLOR) equivalent: [H, W, 3] uint8 BGR."""
+    try:
+        import cv2
+        arr = np.frombuffer(data, np.uint8)
+        return cv2.imdecode(arr, cv2.IMREAD_COLOR)
+    except ImportError:
+        pass
+    except Exception:
+        return None
+    try:
+        import io
+        from PIL import Image
+        rgb = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        return rgb[..., ::-1].copy()
+    except Exception:
+        return None
+
+
 class StereoReplaySource:
     """Iterates (left, right) uint8 frame pairs from an NPZ file or a
-    directory of left*/right* images."""
+    directory of left*/right* images; with want_color, yields
+    (left, right, color_bgr) triples — the left COLOR frame feeds the
+    gen-pcl cloud's packed-RGB channel (point_cloud.cpp:356-383). NPZ
+    sources use a bundled 'color' array when present, else replicate the
+    left gray frame."""
 
-    def __init__(self, path: str, loop: bool = False):
+    def __init__(self, path: str, loop: bool = False,
+                 want_color: bool = False):
         self.loop = loop
+        self.want_color = want_color
         self.pairs = []
         if path.endswith(".npz"):
             z = np.load(path)
@@ -65,22 +108,38 @@ class StereoReplaySource:
                     f"{path} is not a stereo NPZ (needs 'left' and 'right' "
                     f"arrays; has {sorted(z.files)})")
             left, right = z["left"], z["right"]
+            color = z["color"] if "color" in z else None
             if left.ndim == 2:
-                self.pairs = [(left, right)]
+                cols = [color]
+                left, right = left[None], right[None]
             else:
-                self.pairs = [(left[i], right[i]) for i in range(len(left))]
+                cols = (color if color is not None
+                        else [None] * len(left))
+            for i in range(len(left)):
+                c = cols[i]
+                if want_color and c is None:
+                    c = np.repeat(left[i][..., None], 3, axis=-1)
+                self.pairs.append(
+                    (left[i], right[i], c) if want_color
+                    else (left[i], right[i]))
         elif os.path.isdir(path):
             lefts = sorted(glob.glob(os.path.join(path, "left*")))
             for lf in lefts:
                 rf = lf.replace("left", "right")
                 if os.path.exists(rf):
-                    self.pairs.append((_imread_gray(lf), _imread_gray(rf)))
+                    if want_color:
+                        self.pairs.append((_imread_gray(lf),
+                                           _imread_gray(rf),
+                                           _imread_bgr(lf)))
+                    else:
+                        self.pairs.append(
+                            (_imread_gray(lf), _imread_gray(rf)))
         else:
             raise ValueError(f"unsupported replay source: {path}")
         if not self.pairs:
             raise ValueError(f"no stereo pairs found in {path}")
 
-    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, ...]]:
         while True:
             for p in self.pairs:
                 yield p
@@ -93,9 +152,11 @@ class StereoReplaySource:
 
 def synthetic_stream(
     n_frames: int, height: int = 360, width: int = 640,
-    d_base: float = 30.0, seed: int = 0,
-) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-    """Deterministic synthetic stereo stream (bench/test input)."""
+    d_base: float = 30.0, seed: int = 0, want_color: bool = False,
+) -> Iterator[Tuple[np.ndarray, ...]]:
+    """Deterministic synthetic stereo stream (bench/test input). The
+    synthetic scene is grayscale; want_color replicates the left frame
+    into BGR so the gen-pcl RGB packing path is exercised end to end."""
     import sys
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -104,4 +165,7 @@ def synthetic_stream(
     from make_golden_fixtures import make_scene  # noqa: E402
     for i in range(n_frames):
         left, right, _ = make_scene(rng, height, width, d_base, "boxes")
-        yield left, right
+        if want_color:
+            yield left, right, np.repeat(left[..., None], 3, axis=-1)
+        else:
+            yield left, right

@@ -141,6 +141,26 @@ class StereoPipeline:
         return left[sl], right[sl]
 
     @partial(jax.jit, static_argnames=("self",))
+    def _rectify_crop_color(self, color_raw):
+        """Rectify+crop a color frame [H, W, 3] (or batch [B, H, W, 3])
+        with the LEFT maps — the cloud's RGB is sampled from leftim_res,
+        the rectified cropped left image (point_cloud.cpp:440-442,
+        356-383). Channels ride the batch axis of the one-gather remap."""
+        p = self.p
+        batched = color_raw.ndim == 4
+        chans = jnp.moveaxis(color_raw, -1, 0 if not batched else 1)
+        flat = chans.reshape((-1,) + color_raw.shape[-3:-1])
+        rect = remap_bilinear_batch(flat, *self.lmap)
+        sl = (slice(None),
+              slice(p.crop_offset_y, p.crop_offset_y + p.crop_im_height),
+              slice(p.crop_offset_x, p.crop_offset_x + p.crop_im_width))
+        rect = rect[sl]
+        if batched:
+            rect = rect.reshape(color_raw.shape[0], 3, *rect.shape[1:])
+            return jnp.moveaxis(rect, 1, -1)
+        return jnp.moveaxis(rect, 0, -1)
+
+    @partial(jax.jit, static_argnames=("self",))
     def _match_fused(self, left, right):
         """BM/SGM single-jit disparity + u8 conversion."""
         if self.engine == "bm":
@@ -187,8 +207,10 @@ class StereoPipeline:
         pcl_time = 0.0
         if self.p.gen_pcl:
             tc = time.time()
+            col = (None if color_bgr is None
+                   else self._rectify_crop_color(jnp.asarray(color_bgr)))
             cloud = point_cloud_from_disparity(
-                dmap_j, None if color_bgr is None else jnp.asarray(color_bgr),
+                dmap_j, col,
                 self.Q32, self.XR32, self.XT32, self.sp,
                 self.p.crop_offset_x, self.p.crop_offset_y)
             jax.block_until_ready(cloud)
@@ -276,12 +298,56 @@ class StereoPipeline:
         if color_bgr_b is None:
             pts, rgb, valid = jax.vmap(lambda dm: one(dm, None))(dmaps)
         else:
-            pts, rgb, valid = jax.vmap(one)(dmaps, color_bgr_b)
+            col_b = self._rectify_crop_color(color_bgr_b)
+            pts, rgb, valid = jax.vmap(one)(dmaps, col_b)
         from ..scan.obstacle import obstacle_scan_from_points
         scans = jax.vmap(
             lambda pp, vv: obstacle_scan_from_points(pp, vv, self.sp,
                                                      self.gp))(pts, valid)
         return dmaps, (pts, rgb, valid), scans
+
+    def process_batch_pcl(self, left_raw_b, right_raw_b, color_bgr_b=None):
+        """Engine-agnostic batched gen-pcl step: (dmap_u8 batch, cloud
+        batch, scan batch). BM/SGM run the single-jit fused path; ELAS
+        runs its pipelined batch then the cloud+scan jit. The cloud is the
+        full reference gen-pcl export (robot-frame points + packed RGB,
+        point_cloud.cpp:312-386) with the scan built from the points under
+        scan-time ground rejection."""
+        if self.engine != "elas":
+            return self.process_batch_fused_pcl(left_raw_b, right_raw_b,
+                                                color_bgr_b)
+        from ..matching.elas.pipeline import elas_match_batch_device
+        left_b, right_b = self._rectify_crop_batch(
+            jnp.asarray(left_raw_b), jnp.asarray(right_raw_b))
+        B = left_b.shape[0]
+        chunk = max(c for c in (1, 2, 4, 8) if B % c == 0 and c <= B)
+        D1, _ = elas_match_batch_device(
+            left_b, right_b, self.elas_params, chunk=chunk)
+        dmaps = self._dmap_u8(D1)
+        col_b = (None if color_bgr_b is None
+                 else self._rectify_crop_color(jnp.asarray(color_bgr_b)))
+        cloud, scans = self._cloud_scan_jit(
+            dmaps, col_b, self.Q32, self.XR32, self.XT32)
+        return dmaps, cloud, scans
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _cloud_scan_jit(self, dmaps, color_bgr_b, Q32, XR32, XT32):
+        """Batched cloud export + point-scan from uint8 disparity maps."""
+        from ..scan.obstacle import obstacle_scan_from_points
+
+        def one(dm, col):
+            return point_cloud_from_disparity(
+                dm, col, Q32, XR32, XT32, self.sp,
+                self.p.crop_offset_x, self.p.crop_offset_y)
+
+        if color_bgr_b is None:
+            pts, rgb, valid = jax.vmap(lambda dm: one(dm, None))(dmaps)
+        else:
+            pts, rgb, valid = jax.vmap(one)(dmaps, color_bgr_b)
+        scans = jax.vmap(
+            lambda pp, vv: obstacle_scan_from_points(pp, vv, self.sp,
+                                                     self.gp))(pts, valid)
+        return (pts, rgb, valid), scans
 
     def process_batch(self, left_raw_b, right_raw_b):
         """Engine-agnostic batched step: (dmap_u8 batch, scan batch), device

@@ -19,11 +19,12 @@ import numpy as np
 from ..io_bus.bus import TopicBus
 from ..io_bus.messages import Header, Image, JackalTimeLog, LaserScan
 from ..io_bus.timelog import TimeLogWriter
-from ..scan.obstacle import format_laser_scan_ranges
+from ..scan.obstacle import compact_cloud_msg, format_laser_scan_ranges
 from .frame_pipeline import StereoPipeline
 
 TOPIC_DEPTH = "/webcam/left/depth_map"
 TOPIC_SCAN = "/webcam/left/obstacle_scan"
+TOPIC_PCL = "/webcam/left/point_cloud"
 TOPIC_TIMELOG = "/jackal/time_log"
 
 
@@ -50,12 +51,14 @@ class StreamingRunner:
         self.stage_sample_every = max(stage_sample_every, 1)
         self.depth_pub = self.bus.advertise(TOPIC_DEPTH)
         self.scan_pub = self.bus.advertise(TOPIC_SCAN)
+        self.pcl_pub = self.bus.advertise(TOPIC_PCL)
         self.tl_pub = self.bus.advertise(TOPIC_TIMELOG)
         self.seq = 0
         self.batch_no = 0
 
-    def _run_staged(self, lb, rb):
-        """Separate stage dispatches with syncs: real per-stage times."""
+    def _run_staged(self, lb, rb, cb=None):
+        """Separate stage dispatches with syncs: real per-stage times.
+        Returns (dmaps, cloud_or_None, scans, (dmap_t, pcl_t, scan_t))."""
 
         def sync(x):
             jax.block_until_ready(x)
@@ -63,27 +66,40 @@ class StreamingRunner:
             # force completion with a value fetch
             float(jnp.asarray(x).astype(jnp.float32).sum())
 
-        left_b, right_b = self.pipe._rectify_crop_batch(lb, rb)
+        pipe = self.pipe
+        left_b, right_b = pipe._rectify_crop_batch(lb, rb)
         sync(left_b)
         t0 = time.time()
-        if self.pipe.engine == "elas":
+        if pipe.engine == "elas":
             from ..matching.elas.pipeline import elas_match_batch_device
             B = left_b.shape[0]
             chunk = max(c for c in (1, 2, 4, 8) if B % c == 0 and c <= B)
             D1, _ = elas_match_batch_device(
-                left_b, right_b, self.pipe.elas_params, chunk=chunk)
-            dmaps = self.pipe._dmap_u8(D1)
+                left_b, right_b, pipe.elas_params, chunk=chunk)
+            dmaps = pipe._dmap_u8(D1)
         else:
-            dmaps = self.pipe._match_batch(left_b, right_b)
+            dmaps = pipe._match_batch(left_b, right_b)
         sync(dmaps)
         t1 = time.time()
-        scans = jax.vmap(self.pipe._scan_stage)(dmaps)
+        n = left_b.shape[0]
+        if pipe.p.gen_pcl:
+            # gen-pcl path: cloud stage timed separately (the reference's
+            # -p hook, point_cloud.cpp:312-401), scan from the points
+            col = (None if cb is None else pipe._rectify_crop_color(cb))
+            cloud, scans = pipe._cloud_scan_jit(
+                dmaps, col, pipe.Q32, pipe.XR32, pipe.XT32)
+            sync(cloud[2])
+            t2 = time.time()
+            sync(scans.scan)
+            t3 = time.time()
+            return dmaps, cloud, scans, (
+                (t1 - t0) / n, (t2 - t1) / n, (t3 - t2) / n)
+        scans = jax.vmap(pipe._scan_stage)(dmaps)
         sync(scans.scan)
         t2 = time.time()
-        n = left_b.shape[0]
-        return dmaps, scans, ((t1 - t0) / n, (t2 - t1) / n)
+        return dmaps, None, scans, ((t1 - t0) / n, 0.0, (t2 - t1) / n)
 
-    def _publish(self, dmaps: np.ndarray, scans,
+    def _publish(self, dmaps: np.ndarray, scans, cloud=None,
                  stage_times=None) -> None:
         n = len(dmaps)
         for i in range(n):
@@ -91,6 +107,10 @@ class StreamingRunner:
             self.depth_pub.publish(
                 Image(hdr, dmaps[i].shape[0], dmaps[i].shape[1], "mono8",
                       dmaps[i]))
+            if cloud is not None:
+                pts, rgb, valid = cloud
+                self.pcl_pub.publish(compact_cloud_msg(
+                    hdr, (pts[i], rgb[i], valid[i])))
             ranges = format_laser_scan_ranges(scans.scan[i])
             self.scan_pub.publish(LaserScan(
                 hdr, float(scans.angle_min[i]), float(scans.angle_max[i]),
@@ -98,73 +118,93 @@ class StreamingRunner:
                 float(scans.range_min[i]), float(scans.range_max[i]),
                 ranges.tolist()))
             if stage_times is not None:
-                dmap_t, scan_t = stage_times
+                dmap_t, pcl_t, scan_t = stage_times
                 if self.timelog is not None:
                     self.timelog.log("dmap", dmap_t)
+                    if self.pipe.p.gen_pcl:
+                        self.timelog.log("pcl", pcl_t)
                     self.timelog.log("scan", scan_t)
                 self.tl_pub.publish(
-                    JackalTimeLog(hdr, 0.0, scan_t, dmap_t))
+                    JackalTimeLog(hdr, pcl_t, scan_t, dmap_t))
             self.seq += 1
 
-    def run(self, stream: Iterable[Tuple[np.ndarray, np.ndarray]],
+    def run(self, stream: Iterable[Tuple[np.ndarray, ...]],
             max_frames: Optional[int] = None) -> int:
-        """Consume (left, right) pairs; returns frames processed.
+        """Consume (left, right[, color_bgr]) frames; returns frames
+        processed. In gen-pcl mode the compacted packed-RGB cloud is
+        published on /webcam/left/point_cloud (point_cloud.cpp:523) and
+        pcl_time carries the measured cloud-stage time on sampled batches.
 
         Double buffering: batch k+1 is assembled and dispatched while batch
         k's results transfer back — device and host overlap without any
         explicit threading (JAX async dispatch)."""
         it = iter(stream)
-        inflight = None  # (dmaps_dev, scans_dev, t_submit, n)
+        gen_pcl = self.pipe.p.gen_pcl
+        inflight = None  # (dmaps_dev, cloud_dev, scans_dev, times, n)
         done = 0
         pending = 0  # frames dispatched to the device but not yet published
 
         def take_batch():
-            lefts, rights = [], []
+            lefts, rights, colors = [], [], []
             for _ in range(self.B):
                 if max_frames is not None and \
                         done + pending + len(lefts) >= max_frames:
                     break
                 try:
-                    l, r = next(it)
+                    frame = next(it)
                 except StopIteration:
                     break
+                l, r, *rest = frame
                 lefts.append(l)
                 rights.append(r)
+                colors.append(rest[0] if rest else None)
             if not lefts:
                 return None
             n = len(lefts)
             while len(lefts) < self.B:  # pad to the compiled batch shape
                 lefts.append(lefts[-1])
                 rights.append(rights[-1])
-            return np.stack(lefts), np.stack(rights), n
+                colors.append(colors[-1])
+            cb = (np.stack(colors)
+                  if gen_pcl and colors[0] is not None else None)
+            return np.stack(lefts), np.stack(rights), cb, n
 
         nxt = take_batch()
         while nxt is not None:
-            lb, rb, n = nxt
+            lb, rb, cb, n = nxt
+            cb_j = None if cb is None else jnp.asarray(cb)
             sampled = (self.batch_no % self.stage_sample_every == 0)
             self.batch_no += 1
             if sampled:
-                dmaps, scans, stage_times = self._run_staged(
-                    jnp.asarray(lb), jnp.asarray(rb))
+                dmaps, cloud, scans, stage_times = self._run_staged(
+                    jnp.asarray(lb), jnp.asarray(rb), cb_j)
+            elif gen_pcl:
+                dmaps, cloud, scans = self.pipe.process_batch_pcl(
+                    jnp.asarray(lb), jnp.asarray(rb), cb_j)
+                stage_times = None
             else:
                 dmaps, scans = self.pipe.process_batch(
                     jnp.asarray(lb), jnp.asarray(rb))
-                stage_times = None
-            submitted = (dmaps, scans, stage_times, n)
+                cloud, stage_times = None, None
+            submitted = (dmaps, cloud, scans, stage_times, n)
             pending += n
             # overlap: assemble the next batch while the device works
             nxt = take_batch()
             if inflight is not None:
-                d, s, st, m = inflight
-                d_host = np.asarray(d)[:m]
-                s_host = jax.tree_util.tree_map(np.asarray, s)
-                self._publish(d_host, s_host, st)
+                d, c, s, st, m = inflight
+                self._publish_host(d, c, s, st, m)
                 done += m
                 pending -= m
             inflight = submitted
         if inflight is not None:
-            d, s, st, m = inflight
-            self._publish(np.asarray(d)[:m],
-                          jax.tree_util.tree_map(np.asarray, s), st)
+            d, c, s, st, m = inflight
+            self._publish_host(d, c, s, st, m)
             done += m
         return done
+
+    def _publish_host(self, d, c, s, st, m):
+        d_host = np.asarray(d)[:m]
+        s_host = jax.tree_util.tree_map(np.asarray, s)
+        c_host = (None if c is None
+                  else tuple(np.asarray(x)[:m] for x in c))
+        self._publish(d_host, s_host, c_host, st)

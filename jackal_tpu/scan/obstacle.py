@@ -194,3 +194,23 @@ def format_laser_scan_ranges(scan: np.ndarray) -> np.ndarray:
     scan = np.asarray(scan)
     out = [scan[i] for i in range(len(scan) - 1, -1, -1) if scan[i] < INF - 1]
     return np.asarray(out, dtype=np.float64)
+
+
+def compact_cloud_msg(header, cloud) -> "object":
+    """Compact a fixed-shape device cloud into the published PointCloud.
+
+    The reference pushes one geometry_msgs::Point32 per pixel with
+    d >= 2 plus a packed-RGB float channel named "rgb"
+    (point_cloud.cpp:312-386, publish at 388). Here points/rgb ride as
+    numpy arrays (the bus is in-process/pickled, not ROS-serialized):
+    points [N, 3] float32 robot-frame, channel values [N] float32 whose
+    BITS are (r<<16 | g<<8 | b).
+    """
+    from ..io_bus.messages import ChannelFloat32, PointCloud
+
+    pts, rgb_f, valid = cloud
+    v = np.asarray(valid)
+    pts_c = np.asarray(pts).reshape(-1, 3)[v]
+    rgb_c = np.asarray(rgb_f).reshape(-1)[v]
+    return PointCloud(header, pts_c.astype(np.float32),
+                      [ChannelFloat32("rgb", rgb_c.astype(np.float32))])
