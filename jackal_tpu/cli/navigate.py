@@ -37,27 +37,54 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _run_bus(args, nav, joy) -> int:
-    """Cross-process mode: scans in over the broker, Twist + Marker out —
-    the navigate node side of launch/stereo.launch's two-node composition."""
+    """Cross-process mode: scans, joystick and GPS pose in over the
+    broker; Twist + Marker out — the navigate node side of
+    launch/stereo.launch's topology with all three reference inputs
+    (navigate.cpp:435-437):
+
+      /webcam/left/obstacle_scan  -> on_laser_scan + Marker + drive tick
+      /bluetooth_teleop/joy       -> latest JoyState (mode/axes dispatch,
+                                     safeNavigate 302-324)
+      /jackal/gps_estimate        -> on_pose (waypoint heading correction,
+                                     getCurrentPose 365-392)
+
+    Conscious deviation: the reference drives on each JOY message; here
+    the drive tick rides each SCAN with the latest joy state, so the
+    joystick-free default (--mode) works without an operator publisher —
+    a joy message updates the state consumed at the next scan."""
     import time
 
     from ..io_bus.bus import TopicBus
     from ..io_bus.socket_bus import BusBridge
+    from ..nav.navigate import joy_state_from_msg
 
     bus = TopicBus()
     sub = bus.subscribe_queue("/webcam/left/obstacle_scan", maxlen=1)
+    joy_sub = bus.subscribe_queue("/bluetooth_teleop/joy", maxlen=1)
+    pose_sub = bus.subscribe_queue("/jackal/gps_estimate", maxlen=64)
     vel_pub = bus.advertise("/jackal_velocity_controller/cmd_vel")
     marker_pub = bus.advertise("/visualize_laser")   # navigate.cpp:438
     bridge = BusBridge(
         bus, args.bus,
         publish_topics=("/jackal_velocity_controller/cmd_vel",
                         "/visualize_laser"),
-        subscribe_topics=("/webcam/left/obstacle_scan",))
+        subscribe_topics=("/webcam/left/obstacle_scan",
+                          "/bluetooth_teleop/joy",
+                          "/jackal/gps_estimate"))
     print(f"bridged to broker at {args.bus}", flush=True)
 
     handled = 0
     deadline = time.time() + args.bus_timeout
     while handled < args.ticks and time.time() < deadline:
+        while True:                       # drain poses in arrival order
+            pm = pose_sub.pop()
+            if pm is None:
+                break
+            nav.on_pose(pm.x, pm.y, pm.theta)
+            print(f"Current position: {pm.x}, {pm.y}", flush=True)
+        jm = joy_sub.pop()
+        if jm is not None:
+            joy = joy_state_from_msg(jm)
         msg = sub.pop()
         if msg is None:
             time.sleep(0.005)

@@ -58,6 +58,21 @@ class JoyState:
     front: float = 0.0      # axes[1]
 
 
+def joy_state_from_msg(msg) -> "JoyState":
+    """Decode a /bluetooth_teleop/joy message with the reference's PS3
+    mapping (navigate.cpp:304-310): buttons[9]=R2, [11]=R1, [14]=X,
+    [13]=O, [12]=triangle; axes[0]=side, axes[1]=front. Short arrays
+    read as unpressed/centered."""
+    def btn(i):
+        return bool(msg.buttons[i]) if i < len(msg.buttons) else False
+
+    def ax(i):
+        return float(msg.axes[i]) if i < len(msg.axes) else 0.0
+
+    return JoyState(r2=btn(9), r1=btn(11), x=btn(14), o=btn(13),
+                    triangle=btn(12), side=ax(0), front=ax(1))
+
+
 class Navigator:
     """Stateful controller; call laser_scan() then drive() per tick."""
 
