@@ -167,6 +167,13 @@ class SGMParams:
     num_paths: int = 8    # 4 straight + 4 diagonal
     uniqueness: float = 0.95
     lr_threshold: int = 1
+    # Reference-grade right-image aggregation: run the full 8-path DP over
+    # the right-view cost volume instead of deriving S_R(u,d) = S_L(u+d,d)
+    # (exact for raw cost, approximate for the aggregated sum — the
+    # approximation only feeds the L/R consistency threshold). Doubles the
+    # aggregation work; measured effect on the fixture scene is in
+    # docs/parity.md.
+    true_right: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -471,3 +471,102 @@ def elas_match_batch(
     D1, D2 = elas_match_batch_device(
         left_u8, right_u8, params, use_native, chunk)
     return np.asarray(D1), np.asarray(D2)
+
+
+def elas_match_batch_multichip(
+    left_u8: np.ndarray,
+    right_u8: np.ndarray,
+    params: ElasParams = ElasParams(),
+    use_native: Optional[bool] = None,
+    chunk: Optional[int] = None,
+    devices=None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """ELAS data parallelism over chips: replica-per-device, frame-sharded.
+
+    DESIGN (SURVEY §2.4 DP row). ELAS is the one engine with a per-frame
+    host stage (support pruning + 2x Delaunay, ~1-3 ms/frame), so mesh-jit
+    DP like dp_sharded_step does not apply: the device program's raster
+    uses lax.map over frames (a sequential scan a mesh cannot partition)
+    and the host stage sits mid-pipeline. The TPU-native shape is instead
+    REPLICA parallelism — each chip runs the single-chip chunked pipeline
+    on its frame shard, exactly like the reference's process-level
+    parallelism runs one ELAS per node (launch/stereo.launch):
+
+      phase 1: every replica's front segment (descriptors + support
+        candidates) is dispatched async — all chips compute at once;
+      phase 2: candidate grids download per replica; ALL frames' host
+        priors are queued on one shared pool, so chip i's device chunks
+        overlap chip j's host priors;
+      phase 3: each chunk's wire is device_put to ITS chip and the
+        raster + dense + postprocess dispatch asynchronously.
+
+    CEILING (docs/performance.md): the host prior is serial on this
+    1-core host at ~2-3 ms/frame, so DP scaling saturates at ~330-500
+    fps TOTAL regardless of chip count; with H chips the per-chip device
+    time (~8 ms/frame) hides completely once n >= 3. On a pod host with
+    C cores the pool parallelizes C-fold and the ceiling moves to
+    C * ~400 fps. Output is host-side [B, H, W] (cross-device concat
+    forces a transfer anyway).
+    """
+    import jax
+    from concurrent.futures import ThreadPoolExecutor
+
+    if params.subsampling:
+        raise ValueError(
+            "batched path does not support subsampling; use elas_match")
+    if use_native is None:
+        use_native = _HAVE_NATIVE
+    if devices is None:
+        devices = jax.local_devices()
+    left = np.asarray(left_u8)
+    right = np.asarray(right_u8)
+    B, H, W = left.shape
+    n = len(devices)
+    if B % n:
+        raise ValueError(f"batch {B} not divisible by {n} devices")
+    Bs = B // n
+    if chunk is None or chunk >= Bs:
+        chunk = Bs
+    if Bs % chunk:
+        raise ValueError(f"chunk {chunk} must divide shard {Bs}")
+    static = _Static(params, _use_pallas())
+    gs = params.grid_size
+    gh, gw = -(-H // gs), -(-W // gs)
+    Db = params.disp_max + 1
+
+    # phase 1: all replicas' front dispatch before any blocking download
+    fronts = []
+    for i, dev in enumerate(devices):
+        l = jax.device_put(left[i * Bs:(i + 1) * Bs], dev)
+        r = jax.device_put(right[i * Bs:(i + 1) * Bs], dev)
+        fronts.append(_front(l, r, static))
+
+    def upload_chunk(prior_futs, c0, dev):
+        wires = [prior_futs[b].result() for b in range(c0, c0 + chunk)]
+        Np, Tp = _chunk_pads(wires)
+        flat = _flatten_chunk_wire(wires, Np, Tp)
+        return jax.device_put(flat, dev), Np, Tp
+
+    outs = [[] for _ in devices]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        dcans = [np.asarray(f[2]) for f in fronts]
+        prior_futs = [
+            [pool.submit(_prior_tri_job, dcans[i][b], params, W, H,
+                         use_native) for b in range(Bs)]
+            for i in range(n)]
+        up_futs = [
+            (i, pool.submit(upload_chunk, prior_futs[i], c0, devices[i]))
+            for c0 in range(0, Bs, chunk) for i in range(n)]
+        for i, uf in up_futs:
+            flat, Np, Tp = uf.result()
+            m1, m2, g1, g2 = _raster_chunk(flat, chunk, Np, Tp, gh, gw,
+                                           Db, W, H, gs)
+            d1, d2, _ = fronts[i]
+            c0 = (len(outs[i])) * chunk
+            sl = slice(c0, c0 + chunk)
+            outs[i].append(
+                _dense_post(d1[sl], d2[sl], *m1, g1, *m2, g2, static))
+
+    D1 = np.concatenate([np.asarray(o[0]) for dev in outs for o in dev])
+    D2 = np.concatenate([np.asarray(o[1]) for dev in outs for o in dev])
+    return D1, D2

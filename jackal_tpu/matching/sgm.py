@@ -12,14 +12,18 @@ levels". Census-transform matching cost + 8-path semi-global aggregation
   - diagonal paths: the same scan with the carry row shifted one column
     per step (roll + edge reset);
   - WTA over the path sum, uniqueness, L/R consistency, parabolic
-    sub-pixel. The right-image volume is derived as S_R(u,d) = S_L(u+d,d).
-    DOCUMENTED DEVIATION: that relation is exact for the raw matching cost
-    (same pixel pair) but an approximation for the aggregated sum — true
-    right-image SGM would run its own 8 path scans over cost_R, and paths
-    through a right-image pixel traverse different pixel pairs than paths
-    through its left correspondent. The approximation only feeds the L/R
-    consistency check (a thresholded compare), where it is standard
-    practice; the left disparity map itself is exact SGM.
+    sub-pixel. By default the right-image volume is derived as
+    S_R(u,d) = S_L(u+d,d). DOCUMENTED DEVIATION: that relation is exact
+    for the raw matching cost (same pixel pair) but an approximation for
+    the aggregated sum — true right-image SGM runs its own 8 path scans
+    over cost_R, and paths through a right-image pixel traverse different
+    pixel pairs than paths through its left correspondent. The
+    approximation only feeds the L/R consistency check (a thresholded
+    compare), where it is standard practice; the left disparity map
+    itself is exact SGM. SGMParams.true_right=True enables the
+    reference-grade aggregation (cost_R built exactly from the raw
+    volume, then its own 8-path DP) at ~2x aggregation cost; the measured
+    validity delta on the fixture scene is recorded in docs/parity.md.
 """
 from __future__ import annotations
 
@@ -146,6 +150,22 @@ def _wta_from_maps(best, best_d, second, cm, cp, D: int,
     return jnp.where(unique, best_d.astype(jnp.float32) + offs, -1.0)
 
 
+def right_view_volume(vol: jnp.ndarray) -> jnp.ndarray:
+    """[D, H, W] left-anchored volume -> right-anchored: out[d,v,u] =
+    vol[d,v,u+d], _INVALID where u+d >= W. Exact for the raw cost volume
+    (cost_R(u,d) compares the same pixel pair as cost_L(u+d,d))."""
+    D, H, W = vol.shape
+    u = jnp.arange(W)
+    v_pad = jnp.pad(vol, ((0, 0), (0, 0), (0, D)), constant_values=1 << 20)
+
+    def body(d, _):
+        c = jax.lax.dynamic_slice_in_dim(v_pad[d], d, W, axis=1)
+        return d + 1, jnp.where((u + d < W)[None, :], c, _INVALID)
+
+    _, out = jax.lax.scan(body, 0, None, length=D)
+    return out
+
+
 def _lr_tail(dL: jnp.ndarray, dR: jnp.ndarray, D: int,
              params: SGMParams) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """L/R consistency: invalidate left pixels whose right correspondent
@@ -160,12 +180,13 @@ def _lr_tail(dL: jnp.ndarray, dR: jnp.ndarray, D: int,
     return jnp.where(ok, dL, -1.0), dR
 
 
-def _finalize(S: jnp.ndarray, params: SGMParams
+def _finalize(S: jnp.ndarray, params: SGMParams, S_right=None
               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """WTA + uniqueness + sub-pixel + L/R consistency on the aggregated
-    volume S [D, H, W] (lax.scan engine)."""
+    volume S [D, H, W] (lax.scan engine). S_right, when given, is a
+    separately aggregated right-view volume (true_right mode); otherwise
+    the right view is derived as S_R(u,d) = S_L(u+d,d)."""
     D, H, W = S.shape
-    u = jnp.arange(W)
 
     def wta_maps(vol):
         best_d = jnp.argmin(vol, axis=0).astype(jnp.int32)
@@ -181,14 +202,7 @@ def _finalize(S: jnp.ndarray, params: SGMParams
         return best, best_d, second, cm, cp
 
     dL = _wta_from_maps(*wta_maps(S), D, params)
-
-    S_pad = jnp.pad(S, ((0, 0), (0, 0), (0, D)), constant_values=1 << 20)
-
-    def right_body(d, _):
-        c = jax.lax.dynamic_slice_in_dim(S_pad[d], d, W, axis=1)
-        return d + 1, jnp.where((u + d < W)[None, :], c, _INVALID)
-
-    _, SR = jax.lax.scan(right_body, 0, None, length=D)
+    SR = right_view_volume(S) if S_right is None else S_right
     dR = _wta_from_maps(*wta_maps(SR), D, params)
     return _lr_tail(dL, dR, D, params)
 
@@ -204,7 +218,10 @@ def sgm_match(
     cr = census5x5(right_u8)
     cost = census_cost_volume(cl, cr, D)
     S = aggregate_paths(cost, params)
-    return _finalize(S, params)
+    S_right = None
+    if params.true_right:
+        S_right = aggregate_paths(right_view_volume(cost), params)
+    return _finalize(S, params, S_right)
 
 
 @partial(jax.jit, static_argnames=("params",))
@@ -229,8 +246,17 @@ def sgm_match_pallas(
     m = sgm_wta_maps_pallas(S).astype(jnp.int32)      # [B, H, 10, W]
     dL = _wta_from_maps(m[:, :, 0], m[:, :, 1], m[:, :, 2],
                         m[:, :, 3], m[:, :, 4], D, params)
-    dR = _wta_from_maps(m[:, :, 5], m[:, :, 6], m[:, :, 7],
-                        m[:, :, 8], m[:, :, 9], D, params)
+    if params.true_right:
+        # reference-grade: the right volume gets its own 8-path DP; its
+        # direct (left-view) WTA maps are rows 0-4 of the maps kernel
+        cost_r = jax.vmap(right_view_volume)(cost)
+        SRv = aggregate_paths_pallas_bhdw(cost_r, params)
+        mr = sgm_wta_maps_pallas(SRv).astype(jnp.int32)
+        dR = _wta_from_maps(mr[:, :, 0], mr[:, :, 1], mr[:, :, 2],
+                            mr[:, :, 3], mr[:, :, 4], D, params)
+    else:
+        dR = _wta_from_maps(m[:, :, 5], m[:, :, 6], m[:, :, 7],
+                            m[:, :, 8], m[:, :, 9], D, params)
     dLc, dR = jax.vmap(lambda a, b: _lr_tail(a, b, D, params))(dL, dR)
     return dLc, dR
 

@@ -50,18 +50,26 @@ def make_mesh(n_devices: Optional[int] = None,
 
 
 def dp_sharded_step(pipeline, mesh: Mesh):
-    """Jit the fused batched pipeline step with the batch sharded over
-    'data' (and replicated over 'disp'). Returns a callable taking
-    [B, H, W] uint8 raw stereo batches."""
+    """Jit the fused batched pipeline step (any fused engine: BM or SGM)
+    with the batch sharded over 'data' (and replicated over 'disp').
+    Returns a callable taking [B, H, W] uint8 raw stereo batches and
+    producing the NODE contract sharded the same way: per-frame disparity
+    maps AND per-frame obstacle-scan vectors (the payload navigate
+    consumes), plus a scalar closest-obstacle summary riding an ICI
+    all-reduce."""
     bspec = NamedSharding(mesh, P("data", None, None))
+    # one leading-'data' spec serves every scan leaf ([B, bins] and [B])
+    sspec = NamedSharding(mesh, P("data"))
 
-    @partial(jax.jit, in_shardings=(bspec, bspec),
-             out_shardings=(bspec, None))
+    @partial(jax.jit, in_shardings=(bspec, bspec))
     def step(left_b, right_b):
         dmaps, scans = pipeline.process_batch_fused(left_b, right_b)
+        dmaps = jax.lax.with_sharding_constraint(dmaps, bspec)
+        scans = jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(x, sspec), scans)
         # tiny global summary rides an ICI all-reduce: closest obstacle
         closest = jnp.min(scans.scan)
-        return dmaps, closest
+        return dmaps, scans, closest
 
     return step
 

@@ -169,3 +169,21 @@ def test_sgm_wta_maps_pallas_full_match(interpret_pallas):
         dl_j, dr_j = sgm_match(jnp.asarray(l[b]), jnp.asarray(r[b]), prm)
         np.testing.assert_array_equal(np.asarray(dl_p)[b], np.asarray(dl_j))
         np.testing.assert_array_equal(np.asarray(dr_p)[b], np.asarray(dr_j))
+
+
+def test_sgm_true_right_pallas_matches_jnp(interpret_pallas):
+    """true_right mode: the Pallas path (own 8-path DP over cost_R + direct
+    WTA maps of that volume) == the lax.scan engine bit for bit."""
+    import dataclasses
+    from jackal_tpu.config import SGMParams
+    from jackal_tpu.matching.sgm import sgm_match, sgm_match_pallas
+
+    rng = np.random.default_rng(5)
+    B, H, W, D = 1, 18, 130, 16
+    prm = dataclasses.replace(SGMParams(disp_num=D), true_right=True)
+    l = (rng.random((B, H, W)) * 255).astype(np.uint8)
+    r = np.roll(l, 3, axis=2)
+    dl_p, dr_p = sgm_match_pallas(jnp.asarray(l), jnp.asarray(r), prm)
+    dl_j, dr_j = sgm_match(jnp.asarray(l[0]), jnp.asarray(r[0]), prm)
+    np.testing.assert_array_equal(np.asarray(dl_p)[0], np.asarray(dl_j))
+    np.testing.assert_array_equal(np.asarray(dr_p)[0], np.asarray(dr_j))

@@ -32,16 +32,42 @@ def test_tp_bm_exact_vs_single_device(disp_parallel):
                                       np.asarray(dr_ref))
 
 
-def test_dp_step_matches_unsharded():
+@pytest.mark.parametrize("engine", ["bm", "sgm"])
+def test_dp_step_matches_unsharded(engine):
+    """DP over the fused step returns the full node contract — per-frame
+    disparity maps AND scan vectors — sharded, equal to unsharded."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
-    pipe = make_pipeline(None, "bm")
+    pipe = make_pipeline(None, engine)
     mesh = make_mesh(8, disp_parallel=1)
     step = dp_sharded_step(pipe, mesh)
     rng = np.random.default_rng(0)
-    lb = (rng.random((8, 360, 640)) * 255).astype(np.uint8)
-    rb = (rng.random((8, 360, 640)) * 255).astype(np.uint8)
-    dm_sh, closest = step(lb, rb)
+    hw = (360, 640) if engine == "bm" else (96, 320)
+    lb = (rng.random((8,) + hw) * 255).astype(np.uint8)
+    rb = (rng.random((8,) + hw) * 255).astype(np.uint8)
+    dm_sh, sc_sh, closest = step(lb, rb)
     dm, scans = pipe.process_batch_fused(lb, rb)
     np.testing.assert_array_equal(np.asarray(dm_sh), np.asarray(dm))
+    np.testing.assert_array_equal(np.asarray(sc_sh.scan),
+                                  np.asarray(scans.scan))
+    np.testing.assert_array_equal(np.asarray(sc_sh.angle_min),
+                                  np.asarray(scans.angle_min))
     np.testing.assert_allclose(float(closest), float(np.asarray(scans.scan).min()))
+
+
+def test_elas_dp_replicas_match_single_device():
+    """Replica-per-device ELAS DP == the single-device batched path."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    from jackal_tpu.matching.elas.pipeline import (
+        elas_match_batch, elas_match_batch_multichip)
+    g = np.load("tests/fixtures/elas_golden_s320_flat.npz")
+    l0, r0 = g["left"][:96, :160], g["right"][:96, :160]
+    l1 = np.roll(l0, 5, axis=0)
+    r1 = np.roll(r0, 5, axis=0)
+    lb, rb = np.stack([l0, l1]), np.stack([r0, r1])
+    D1m, D2m = elas_match_batch_multichip(
+        lb, rb, devices=jax.devices()[:2])
+    D1, D2 = elas_match_batch(lb, rb, chunk=1)
+    np.testing.assert_array_equal(D1m, np.asarray(D1))
+    np.testing.assert_array_equal(D2m, np.asarray(D2))
