@@ -111,27 +111,36 @@ def test_end_to_end_bit_exact_with_reference_triangulation(st320):
     np.testing.assert_array_equal(D1, z["final_D1"])
 
 
-@pytest.mark.parametrize("fix", ["s320_flat", "s320_boxes"])
-def test_golden_rmse(fix):
+@pytest.mark.parametrize("fix", ["s320_flat", "s320_boxes", "s640_boxes"])
+def test_golden_bit_exact(fix):
+    """End-to-end BIT equality vs the reference build on every golden,
+    with OUR OWN (first-party exact) Delaunay engine on the default path —
+    the README's headline claim, asserted (far inside the 0.5 px
+    north-star budget, BASELINE.md)."""
     g = np.load(f"{FIX}/elas_golden_{fix}.npz")
-    D1, _ = elas_match(g["left"], g["right"])
-    ref = g["D1"]
-    both = (ref >= 0) & (D1 >= 0)
-    rmse = float(np.sqrt(((D1[both] - ref[both]) ** 2).mean()))
-    mask_agree = ((ref >= 0) == (D1 >= 0)).mean()
-    assert rmse <= 0.5, rmse       # north-star budget (BASELINE.md)
-    assert rmse <= 0.05, rmse      # our actual bar: ~bit-comparable
-    assert mask_agree > 0.995
+    D1, D2 = elas_match(g["left"], g["right"])
+    np.testing.assert_array_equal(D1, g["D1"])
+    np.testing.assert_array_equal(D2, g["D2"])
 
 
 def test_golden_middlebury_preset():
     g = np.load(f"{FIX}/elas_golden_s320_mb.npz")
     D1, D2 = elas_match(g["left"], g["right"],
                         params=ElasParams.middlebury())
-    for mine, ref in [(D1, g["D1"]), (D2, g["D2"])]:
-        both = (ref >= 0) & (mine >= 0)
-        rmse = float(np.sqrt(((mine[both] - ref[both]) ** 2).mean()))
-        assert rmse <= 0.05, rmse
+    np.testing.assert_array_equal(D1, g["D1"])
+    np.testing.assert_array_equal(D2, g["D2"])
+
+
+def test_golden_photographic_pair_bit_exact():
+    """Natural-imagery end-to-end bit equality: a real 640x480 crop of the
+    reference repo's fisheye stereo photographs (saturated gradients,
+    occlusion boundaries, real speckle structure — only ~31% of pixels
+    survive the reference pipeline here, exercising the sparse paths the
+    synthetic smooth-disparity scenes never hit)."""
+    g = np.load(f"{FIX}/elas_golden_photo.npz")
+    D1, D2 = elas_match(g["left"], g["right"])
+    np.testing.assert_array_equal(D1, g["D1"])
+    np.testing.assert_array_equal(D2, g["D2"])
 
 
 @pytest.mark.parametrize("use_native", [True, False])

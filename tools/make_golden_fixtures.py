@@ -105,11 +105,52 @@ def make_scene(rng, H, W, d_base: float, seed_kind: str):
             d)
 
 
+def photographic_pair():
+    """Real photographic stereo pair: the reference repo's fisheye stereo
+    photos (doc/images/{left,right}_fisheye_epipolar.png, 960x600 — real
+    camera imagery with saturated gradients, occlusion boundaries and
+    natural speckle; the drawn epipolar lines are just extra texture).
+    Cropped to 640x480 (bench resolution), grayscaled with ITU-R 601
+    rounding. The IMAGES are test inputs only — doc assets, not code."""
+    from PIL import Image
+
+    out = []
+    for side in ("left", "right"):
+        im = Image.open(
+            f"/root/reference/doc/images/{side}_fisheye_epipolar.png")
+        g = np.asarray(im.convert("L"))[60:540, 160:800]
+        out.append(np.ascontiguousarray(g))
+    return out
+
+
+def run_reference(binary, wd, name, left, right, preset):
+    H, W = left.shape
+    lf = os.path.join(wd, f"{name}_l.raw")
+    rf = os.path.join(wd, f"{name}_r.raw")
+    left.tofile(lf)
+    right.tofile(rf)
+    prefix = os.path.join(wd, name)
+    subprocess.run(
+        [binary, lf, rf, str(W), str(H), preset, prefix], check=True)
+    D1 = np.fromfile(f"{prefix}_D1.raw", np.float32).reshape(H, W)
+    D2 = np.fromfile(f"{prefix}_D2.raw", np.float32).reshape(H, W)
+    return D1, D2
+
+
 def main():
     os.makedirs(FIXDIR, exist_ok=True)
     rng = np.random.default_rng(42)
     with tempfile.TemporaryDirectory() as wd:
         binary = build_golden_binary(wd)
+
+        left, right = photographic_pair()
+        D1, D2 = run_reference(binary, wd, "photo", left, right, "ROBOTICS")
+        np.savez_compressed(
+            os.path.join(FIXDIR, "elas_golden_photo.npz"),
+            left=left, right=right, D1=D1, D2=D2, preset="ROBOTICS")
+        print(f"photo: valid={(D1 >= 0).mean():.2%} 640x480 "
+              f"-> elas_golden_photo.npz")
+
         scenes = [
             ("s320_flat", 320, 180, 30.0, "flat", "ROBOTICS"),
             ("s320_boxes", 320, 184, 40.0, "boxes", "ROBOTICS"),
