@@ -1,8 +1,8 @@
 """Pallas kernel for the ELAS dense MAP matcher (findMatch hot loop).
 
 Same VMEM-resident design as the BM kernel: row-band grid, target
-descriptor DMA'd into a 128-margined scratch so every per-d shift is a
-static slice, and a streaming keyed min over the unrolled d loop that
+descriptor DMA'd into scratch, and a streaming keyed min over the d loop
+(chunked onto the innermost grid dimension — see _elas_dense_kernel) that
 reproduces the reference's candidate visit order exactly (grid candidates
 ascending d, then the plane window ascending d; see matching/elas/dense.py
 for the key encoding contract — this kernel computes the identical keys).
@@ -29,15 +29,28 @@ _WINDOW = 2
 
 def _elas_dense_kernel(q_ref, t_hbm, dplane_ref, pvalid_ref, pok_ref,
                        grid_ref, out_ref, t_scr, sem,
-                       *, D, TH, W, W_real, GS, radius, P_host, right_image):
+                       *, D, TH, W, W_real, GS, radius, P_host, right_image,
+                       DCH):
+    """One row-band x one d-chunk. The d loop rides the innermost grid
+    dimension in DCH-wide chunks (Mosaic compile time is super-linear in
+    unrolled program length; D=256 fully unrolled takes tens of minutes
+    to compile, a 32-chunk seconds). The running best KEY accumulates in
+    the int32 out block across chunk steps — ascending-d visit order and
+    therefore the reference tie-break are preserved exactly; the float
+    decode happens in the wrapper."""
     b = pl.program_id(0)
     i = pl.program_id(1)
+    dc = pl.program_id(2)
+    d0 = dc * DCH
     C = q_ref.shape[1]
 
-    copy_t = pltpu.make_async_copy(
-        t_hbm.at[b, :, pl.ds(i * TH, TH), :], t_scr, sem)
-    copy_t.start()
-    copy_t.wait()
+    # the target band is d-invariant: DMA it once per (b, i), first chunk
+    @pl.when(dc == 0)
+    def _copy():
+        copy_t = pltpu.make_async_copy(
+            t_hbm.at[b, :, pl.ds(i * TH, TH), :], t_scr, sem)
+        copy_t.start()
+        copy_t.wait()
 
     # per-channel [TH, W] planes (a [C, TH, W] intermediate per unrolled d
     # blows the VMEM stack allocator)
@@ -46,10 +59,11 @@ def _elas_dense_kernel(q_ref, t_hbm, dplane_ref, pvalid_ref, pok_ref,
     # scratch materialize a realignment buffer PER READ (4096 of them blew
     # the VMEM stack); instead keep the shifted target as loop-carried
     # registers rolled one column per d (circular wrap lands only in the
-    # warp_ok-masked region)
-    t_roll = [t_scr[c].astype(jnp.int32) for c in range(C)]
-    # pltpu.roll needs a non-negative shift: left-roll by 1 == roll by W-1
+    # warp_ok-masked region). One dynamic roll re-bases each register at
+    # the chunk's d0; the per-d shifts stay static rolls-by-one.
     roll_dir = W - 1 if right_image else 1
+    t_roll = [pltpu.roll(t_scr[c].astype(jnp.int32),
+                         (d0 * roll_dir) % W, 1) for c in range(C)]
     d_plane = dplane_ref[0].astype(jnp.int32)   # [TH, W] (i16 wire)
     prior = pvalid_ref[0].astype(jnp.int32)     # [TH, W] 0/1
     pixel_ok = pok_ref[0] != 0                  # [TH, W] bool
@@ -58,9 +72,14 @@ def _elas_dense_kernel(q_ref, t_hbm, dplane_ref, pvalid_ref, pok_ref,
     d_min = jnp.maximum(d_plane - radius, 0)
     d_max = jnp.minimum(d_plane + radius, D - 1)
 
-    best = jnp.full((TH, W), _BIG, jnp.int32)
+    @pl.when(dc == 0)
+    def _init():
+        out_ref[0] = jnp.full((TH, W), _BIG, jnp.int32)
+
+    best = out_ref[0]
     sign = 1 if right_image else -1
-    for d in range(D):
+    for i_d in range(DCH):
+        d = d0 + i_d                            # dynamic scalar
         cost = jnp.zeros((TH, W), jnp.int32)
         for c in range(C):
             diff = q_planes[c] - t_roll[c]
@@ -70,9 +89,10 @@ def _elas_dense_kernel(q_ref, t_hbm, dplane_ref, pvalid_ref, pok_ref,
         warp = col + sign * d
         warp_ok = (warp >= _WINDOW) & (warp < W_real - _WINDOW)
         # grid candidates: rows at cell resolution (cols pixel-expanded on
-        # host); expand rows via broadcast+concat (cheap, no repeat op)
+        # host); expand rows via broadcast+concat (cheap, no repeat op);
+        # the block streams this chunk's d slice, so index i_d is static
         in_grid = jnp.concatenate(
-            [jnp.broadcast_to(grid_ref[0, j, d, :][None, :], (GS, W))
+            [jnp.broadcast_to(grid_ref[0, j, i_d, :][None, :], (GS, W))
              for j in range(TH // GS)], axis=0) != 0
         in_win = (d >= d_min) & (d <= d_max)
         cand = in_grid | in_win
@@ -85,15 +105,18 @@ def _elas_dense_kernel(q_ref, t_hbm, dplane_ref, pvalid_ref, pok_ref,
         rank = jnp.where(in_win, 256 + d, d)
         key = (val + _KEY_BIAS) * 512 + rank
         key = jnp.where(cand & warp_ok & pixel_ok, key, _BIG)
-        best = jnp.minimum(best, key)
+        # mask the padded d >= D tail arithmetically: a scalar-bool `&`
+        # against the vector mask makes Mosaic back-propagate a replicated
+        # i1 layout into the concat above (relayout ICE); max against
+        # live*_BIG is layout-neutral (keys are non-negative by _KEY_BIAS)
+        dead = jnp.where(d < D, 0, _BIG)        # traced scalar
+        best = jnp.minimum(best, jnp.maximum(key, dead))
 
-    d_best = (best % 512) % 256
-    out = jnp.where(best < _BIG, d_best.astype(jnp.float32), -1.0)
-    out_ref[0] = jnp.where(pixel_ok, out, -10.0)
+    out_ref[0] = best
 
 
 @functools.partial(jax.jit, static_argnames=("params", "right_image",
-                                              "tile_h"))
+                                              "tile_h", "d_chunk"))
 def elas_dense_pallas(
     desc1: jnp.ndarray,          # [B, H, W, 16] uint8
     desc2: jnp.ndarray,
@@ -104,6 +127,7 @@ def elas_dense_pallas(
     params: ElasParams = ElasParams(),
     right_image: bool = False,
     tile_h: int = 40,
+    d_chunk: int = 32,
 ) -> jnp.ndarray:
     """Batched ELAS dense disparity [B, H, W] f32 — identical output to
     matching.elas.dense.dense_match, Pallas-accelerated."""
@@ -134,16 +158,22 @@ def elas_dense_pallas(
     Hp = n_tiles * TH
     Wp = -(-W // 128) * 128
 
+    DCH = min(d_chunk, D)
+    n_dchunks = -(-D // DCH)
+    Dp = n_dchunks * DCH
+
     # grid candidates: rows at CELL resolution (kernel expands by sublane
-    # repeat), columns at pixel resolution padded to Wp
-    # [B, gh, gw, D] -> [B, Hp/gs, D, Wp] uint8
+    # repeat), columns at pixel resolution padded to Wp; d axis padded to
+    # the chunk multiple (the kernel masks d >= D)
+    # [B, gh, gw, D] -> [B, Hp/gs, Dp, Wp] uint8
     gcell_rows = Hp // gs
     grid_cols = jnp.repeat(grid_mask, gs, axis=2)[:, :, :W]     # [B,gh,W,D]
     grid_cols = grid_cols[:, :gcell_rows]
     gh = grid_cols.shape[1]
     grid_cols = jnp.pad(grid_cols.astype(jnp.uint8),
-                        ((0, 0), (0, gcell_rows - gh), (0, Wp - W), (0, 0)))
-    grid_hc = jnp.moveaxis(grid_cols, 3, 2)                      # [B,R,D,Wp]
+                        ((0, 0), (0, gcell_rows - gh), (0, Wp - W),
+                         (0, Dp - D)))
+    grid_hc = jnp.moveaxis(grid_cols, 3, 2)                     # [B,R,Dp,Wp]
 
     def pad_hw(x, fill=0):
         cfg = [(0, 0)] * (x.ndim - 2) + [(0, Hp - H), (0, Wp - W)]
@@ -158,32 +188,38 @@ def elas_dense_pallas(
     P_host = tuple(int(x) for x in prior_table(params)[:params.plane_radius + 1])
     kern = functools.partial(
         _elas_dense_kernel, D=D, TH=TH, W=Wp, W_real=W, GS=gs,
-        radius=params.plane_radius, P_host=P_host, right_image=right_image)
+        radius=params.plane_radius, P_host=P_host, right_image=right_image,
+        DCH=DCH)
 
     def bs(shape3=False):
         if shape3:
-            return pl.BlockSpec((1, TH, Wp), lambda b, i: (b, i, 0),
+            return pl.BlockSpec((1, TH, Wp), lambda b, i, dc: (b, i, 0),
                                 memory_space=pltpu.VMEM)
         return None
 
-    out = pl.pallas_call(
+    best = pl.pallas_call(
         kern,
-        grid=(B, n_tiles),
+        grid=(B, n_tiles, n_dchunks),
         in_specs=[
-            pl.BlockSpec((1, C, TH, Wp), lambda b, i: (b, 0, i, 0),
+            pl.BlockSpec((1, C, TH, Wp), lambda b, i, dc: (b, 0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             bs(True),
             bs(True),
             bs(True),
-            pl.BlockSpec((1, TH // gs, D, Wp), lambda b, i: (b, i, 0, 0),
+            pl.BlockSpec((1, TH // gs, DCH, Wp),
+                         lambda b, i, dc: (b, i, dc, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=bs(True),
-        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((C, TH, Wp), jnp.uint8),
             pltpu.SemaphoreType.DMA,
         ],
     )(qc, tc, d_plane_p, pvalid, pok, grid_hc)
-    return out[:, :H, :W]
+    # decode the accumulated keys (kept in XLA where it fuses for free)
+    best = best[:, :H, :W]
+    d_best = (best % 512) % 256
+    out = jnp.where(best < _BIG, d_best.astype(jnp.float32), -1.0)
+    return jnp.where(pixel_ok, out, -10.0)

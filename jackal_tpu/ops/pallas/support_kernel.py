@@ -25,9 +25,21 @@ candidate-count, ratio test, column/row bounds, forward-backward check)
 bit-exactly from the four key maps; all thresholds stay in XLA where they
 fuse for free.
 
-Mosaic notes follow bm_kernel.py: fully unrolled d loop, loop-carried
-rolled int32 target registers (no unaligned u8 lane reads), 128-aligned
-lane dims, python-int constants.
+Mosaic notes follow bm_kernel.py: loop-carried rolled int32 target
+registers (no unaligned u8 lane reads), 128-aligned lane dims.
+
+The d loop is chunked onto a THIRD grid dimension (innermost, so chunks
+execute in ascending-d order) instead of being fully unrolled: Mosaic
+compile time is super-linear in straight-line program length, and the
+reference search range D=256 unrolled (~15k vector ops) takes the
+compiler tens of minutes, while a 32-wide chunk compiles in seconds.
+The four best/second-best key maps accumulate across chunk steps in the
+output blocks, whose index maps ignore the chunk axis — Pallas keeps a
+block VMEM-resident over consecutive grid steps with the same indices,
+so the accumulation is free. Within a chunk every column shift is the
+same static roll-by-one as before; only the chunk's base offset is a
+dynamic roll. The sequential best/second update order (ascending d) is
+preserved exactly, so outputs are bit-identical to the unrolled form.
 """
 from __future__ import annotations
 
@@ -47,21 +59,32 @@ _GAP = 5          # window(3) + u_step(2): min margin to the image edge
 
 
 def _support_kernel(q_ref, t_ref, l1_ref, l2_ref, r1_ref, r2_ref,
-                    *, D, disp_min, TN, W, W_real):
-    """One row-band of grid rows: dual best-two keyed WTA over d."""
+                    *, D, disp_min, TN, W, W_real, DCH):
+    """One row-band x one d-chunk: dual best-two keyed WTA over
+    d in [disp_min + dc*DCH, ...); state accumulates in the out refs."""
     C = q_ref.shape[1]                      # 32 = 16 chans x {v-2, v+2}
+    dc = pl.program_id(2)
+    d0 = disp_min + dc * DCH                # dynamic chunk base
     q = [q_ref[0, c].astype(jnp.int32) for c in range(C)]
     t = [t_ref[0, c].astype(jnp.int32) for c in range(C)]
-    if disp_min > 0:
-        t = [pltpu.roll(x, disp_min, 1) for x in t]
+    # one dynamic roll per channel re-bases the target at this chunk;
+    # every per-d shift below stays a static roll-by-one
+    t = [pltpu.roll(x, d0 % W, 1) for x in t]
     col = jax.lax.broadcasted_iota(jnp.int32, (TN, W), 1)
 
-    l1 = jnp.full((TN, W), _KBIG, jnp.int32)
-    l2 = jnp.full((TN, W), _KBIG, jnp.int32)
-    r1 = jnp.full((TN, W), _KBIG, jnp.int32)
-    r2 = jnp.full((TN, W), _KBIG, jnp.int32)
+    @pl.when(dc == 0)
+    def _init():
+        big = jnp.full((TN, W), _KBIG, jnp.int32)
+        l1_ref[0] = big
+        l2_ref[0] = big
+        r1_ref[0] = big
+        r2_ref[0] = big
 
-    for d in range(disp_min, D):
+    l1, l2 = l1_ref[0], l2_ref[0]
+    r1, r2 = r1_ref[0], r2_ref[0]
+
+    for i in range(DCH):
+        d = d0 + i                          # dynamic scalar
         s = jnp.zeros((TN, W), jnp.int32)
         for c in range(C):
             diff = q[c] - t[c]
@@ -69,16 +92,17 @@ def _support_kernel(q_ref, t_ref, l1_ref, l2_ref, r1_ref, r2_ref,
         t = [pltpu.roll(x, 1, 1) for x in t]
         # cost(c) = S(c-2) + S(c+2): u_step column taps
         cost = pltpu.roll(s, 2, 1) + pltpu.roll(s, W - 2, 1)
+        live = d < D                        # partial-final-chunk mask
 
         # left image at column c matches right column c-d: valid c >= d+5
-        key = jnp.where(col >= d + _GAP, cost * 512 + d, _KBIG)
+        key = jnp.where(live & (col >= d + _GAP), cost * 512 + d, _KBIG)
         l2 = jnp.minimum(l2, jnp.maximum(l1, key))
         l1 = jnp.minimum(l1, key)
 
         # right image at column c matches left column c+d:
         # cost_R(c, d) = cost_L(c+d, d), valid c <= W_real - 5 - d
-        cost_r = pltpu.roll(cost, W - d, 1) if d > 0 else cost
-        key_r = jnp.where(col <= W_real - _GAP - d,
+        cost_r = pltpu.roll(cost, (W - d) % W, 1)
+        key_r = jnp.where(live & (col <= W_real - _GAP - d),
                           cost_r * 512 + d, _KBIG)
         r2 = jnp.minimum(r2, jnp.maximum(r1, key_r))
         r1 = jnp.minimum(r1, key_r)
@@ -104,10 +128,12 @@ def _grid_row_blocks(desc: jnp.ndarray, step: int, ncv: int) -> jnp.ndarray:
     return jnp.moveaxis(both, -1, 1)                 # [B, 32, nv, W]
 
 
-@functools.partial(jax.jit, static_argnames=("params", "tile_n"))
+@functools.partial(jax.jit,
+                   static_argnames=("params", "tile_n", "d_chunk"))
 def support_candidates_pallas(
     desc1: jnp.ndarray, desc2: jnp.ndarray,
     params: ElasParams = ElasParams(), tile_n: int = 16,
+    d_chunk: int = 32,
 ) -> jnp.ndarray:
     """Batched candidate grid [B, ncv, ncu] int16 — identical output to
     vmap(support_candidates) (matching/elas/support.py)."""
@@ -129,17 +155,19 @@ def support_candidates_pallas(
     Q = jnp.pad(Q, pad)
     T = jnp.pad(T, pad)
 
+    DCH = min(d_chunk, D - params.disp_min)
+    n_dchunks = -(-(D - params.disp_min) // DCH)
     kern = functools.partial(
         _support_kernel, D=D, disp_min=params.disp_min, TN=TN, W=Wp,
-        W_real=W)
-    io_spec = pl.BlockSpec((1, 32, TN, Wp), lambda b, i: (b, 0, i, 0),
+        W_real=W, DCH=DCH)
+    io_spec = pl.BlockSpec((1, 32, TN, Wp), lambda b, i, dc: (b, 0, i, 0),
                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, TN, Wp), lambda b, i: (b, i, 0),
+    out_spec = pl.BlockSpec((1, TN, Wp), lambda b, i, dc: (b, i, 0),
                             memory_space=pltpu.VMEM)
     shp = jax.ShapeDtypeStruct((B, NVp, Wp), jnp.int32)
     l1, l2, r1, r2 = pl.pallas_call(
         kern,
-        grid=(B, n_bands),
+        grid=(B, n_bands, n_dchunks),
         in_specs=[io_spec, io_spec],
         out_specs=(out_spec,) * 4,
         out_shape=(shp,) * 4,
