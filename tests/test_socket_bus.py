@@ -16,6 +16,24 @@ from jackal_tpu.io_bus.messages import Header, LaserScan
 from jackal_tpu.io_bus.socket_bus import BusBridge, BusBroker
 
 
+def _wait_for_bridge(proc, timeout=120.0):
+    """Block until the child node prints its 'bridged to broker' line.
+
+    BusBridge sends its subscription frames synchronously before the CLI
+    prints that line, so once it appears the broker is routing to the
+    child; a blind sleep races against interpreter startup on a loaded
+    1-core host. The consumed line is not part of any assertion."""
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        line = proc.stdout.readline()
+        if not line:
+            raise AssertionError("node exited before bridging")
+        if "bridged to broker" in line:
+            time.sleep(0.3)   # let the broker thread register the subs
+            return
+    raise AssertionError("node never bridged to the broker")
+
+
 def test_broker_routes_between_bridges():
     broker = BusBroker()
     try:
@@ -65,7 +83,7 @@ def test_point_cloud_and_navigate_as_two_processes(tmp_path):
              "--bus-timeout", "240"],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True)
-        time.sleep(2.0)   # let navigate subscribe before frames flow
+        _wait_for_bridge(nav)
         pc = subprocess.run(
             [sys.executable, "-m", "jackal_tpu.cli.point_cloud",
              "--bus", addr, "--engine", "bm", "--frames", "3",
@@ -157,13 +175,13 @@ def test_navigate_consumes_joy_and_gps_over_broker(tmp_path):
              "--waypoints", str(wp), "--bus-timeout", "240"],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True)
-        time.sleep(2.0)
+        _wait_for_bridge(nav)
 
         # triangle pressed -> auto-navigate mode (overrides --mode stop)
         buttons = [0] * 15
         buttons[12] = 1
-        pub_bus.publish("/bluetooth_teleop/joy",
-                        Joy(Header.now(0, "jackal"), [0.0, 1.0], buttons))
+        joy_msg = Joy(Header.now(0, "jackal"), [0.0, 1.0], buttons)
+        pub_bus.publish("/bluetooth_teleop/joy", joy_msg)
         # 22 poses heading +y while the waypoint sits at +x:
         # counter passes 20, dist(last, cur) = 4.2 > 3, ang_diff ~ 90deg
         # -> rot_frames set (navigate.cpp:380-391)
@@ -172,6 +190,9 @@ def test_navigate_consumes_joy_and_gps_over_broker(tmp_path):
                             JackalPose(0.0, 0.2 * (k + 1), 0.0))
         time.sleep(1.0)   # let joy + poses land before the first scan
         for k in range(nticks):
+            # latest-wins joy queue: re-sending each tick makes the mode
+            # switch immune to a lost first frame
+            pub_bus.publish("/bluetooth_teleop/joy", joy_msg)
             pub_bus.publish(
                 "/webcam/left/obstacle_scan",
                 LaserScan(Header.now(k, "jackal"), -0.78, 0.78,
