@@ -42,6 +42,32 @@ def _perm2(idx3, k, p):
                      jnp.where(idx3 == p[:, None], k, idx3))
 
 
+def _sel_rows(M, perm):
+    """M [T, 3] or [T, 3, X] reordered as M[t, i] = M_old[t, perm[t, i]],
+    with where-selects over the 3 candidates instead of take_along_axis:
+    a batched gather drops off the TPU vector fast path (~400x slower
+    measured under vmap), a 3-way select stays elementwise."""
+    rows = [M[:, j] for j in range(3)]
+    out = []
+    for i in range(3):
+        p = perm[:, i]
+        pe = p[:, None] if M.ndim == 3 else p
+        out.append(jnp.where(pe == 0, rows[0],
+                             jnp.where(pe == 1, rows[1], rows[2])))
+    return jnp.stack(out, axis=1)
+
+
+def _sel_cols(M, perm):
+    """M [T, 3, 3] reordered as M[t, :, j] = M_old[t, :, perm[t, j]]."""
+    cols = [M[:, :, j] for j in range(3)]
+    out = []
+    for j in range(3):
+        p = perm[:, j][:, None]
+        out.append(jnp.where(p == 0, cols[0],
+                             jnp.where(p == 1, cols[1], cols[2])))
+    return jnp.stack(out, axis=2)
+
+
 def _gj_solve3(A, b):
     """Vectorized solve3: A [T,3,3] f64 bits, b [T,3] f64 bits ->
     (x [T,3] f64 bits, ok [T] bool)."""
@@ -63,11 +89,11 @@ def _gj_solve3(A, b):
         ok = ok & (best >= jnp.int64(_EPS_BITS))
 
         permr = _perm2(idx3, k, pr)
-        A = jnp.take_along_axis(A, permr[:, :, None], axis=1)
-        b = jnp.take_along_axis(b, permr, axis=1)
+        A = _sel_rows(A, permr)
+        b = _sel_rows(b, permr)
         permc = _perm2(idx3, k, pc)
-        A = jnp.take_along_axis(A, permc[:, None, :], axis=2)
-        colidx = jnp.take_along_axis(colidx, permc, axis=1)
+        A = _sel_cols(A, permc)
+        colidx = _sel_rows(colidx, permc)
 
         piv = A[:, k, k]
         Ak = sf.f64_div(A[:, k], piv[:, None])     # row k scaled

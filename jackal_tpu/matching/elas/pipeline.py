@@ -348,10 +348,23 @@ def _raster_chunk(flat_dev, CH, Np, Tp, gh, gw, Db, W, H, gs):
         def coeffs(flat):
             with jax.enable_x64(True):
                 sp, sides = unflat(flat)
+                # flatten the frame axis for the per-triangle math: a
+                # vmapped support[tri] gather (batched gather) runs off
+                # the TPU fast path (~10 ms/chunk measured); one flat
+                # gather with frame-offset indices is ~50x cheaper
+                sp_flat = sp.reshape(CH * Np, 3)
+                offs = (jnp.arange(CH, dtype=jnp.int32)
+                        * Np)[:, None, None]
                 out = []
                 for (tri, paint), right in zip(sides, (False, True)):
-                    cu, cv, sb, pb, pv = jax.vmap(
-                        partial(_tri_coeffs_impl, right=right))(sp, tri)
+                    tri_flat = (tri + offs).reshape(CH * Tp, 3)
+                    cu, cv, sb, pb, pv = partial(
+                        _tri_coeffs_impl, right=right)(sp_flat, tri_flat)
+                    cu = cu.reshape(CH, Tp, 3)
+                    cv = cv.reshape(CH, Tp, 2)
+                    sb = sb.reshape(CH, Tp, 3)
+                    pb = pb.reshape(CH, Tp, 3)
+                    pv = pv.reshape(CH, Tp)
                     grid = jax.vmap(partial(
                         _grid_impl, right=right, gs=gs, gh=gh, gw=gw,
                         disp_max=Db - 1))(sp)

@@ -199,6 +199,28 @@ def f64_mul(a, b):
     return jnp.where(za | zb, _zero(s), out)
 
 
+def _div_chunk(r, mb, mf):
+    """floor(r / mb) for r < mb*2^10, mb in [2^52, 2^53), with the
+    quotient digit ESTIMATED by one f32 division and repaired by exact
+    integer corrections. A variable-divisor u64 `//` lowers to a
+    bit-serial loop on TPU's emulated int64 lanes (~2 s per dispatch
+    measured, and it bloats the XLA program enough to stall compiles for
+    minutes); the estimate's error is < 2^10 * (2*2^-24 + 2*2^-23)
+    + 1 < 2, so two where-corrections per side make it exact."""
+    qi = (r.astype(jnp.float32) / mf).astype(jnp.uint64)
+    rem = _i(r) - _i(qi * mb)
+    mbi = _i(mb)
+    for _ in range(2):
+        neg = rem < 0
+        qi = jnp.where(neg, qi - jnp.uint64(1), qi)
+        rem = jnp.where(neg, rem + mbi, rem)
+    for _ in range(2):
+        big = rem >= mbi
+        qi = jnp.where(big, qi + jnp.uint64(1), qi)
+        rem = jnp.where(big, rem - mbi, rem)
+    return qi, _u(rem)
+
+
 def f64_div(a, b):
     """a / b with RNE. b must be nonzero (the Gauss-Jordan pivot is
     singularity-gated before any division)."""
@@ -210,10 +232,9 @@ def f64_div(a, b):
     # (r < 2^53 so r<<9 < 2^62 never overflows)
     q = jnp.zeros_like(ma)
     r = ma
+    mf = mb.astype(jnp.float32)
     for _ in range(6):
-        r = r << jnp.uint64(9)
-        qi = r // mb
-        r = r - qi * mb
+        qi, r = _div_chunk(r << jnp.uint64(9), mb, mf)
         q = (q << jnp.uint64(9)) | qi
     big = ma >= mb                            # quotient in [1, 2)
     kept = jnp.where(big, q >> jnp.uint64(2), q >> jnp.uint64(1))
@@ -278,8 +299,8 @@ def f32_div_int(num, den):
     """Correctly-rounded float32 quotient of two integers, as f32 values.
 
     Replicates x86 divss on exact small-int operands (|num|,|den| < 2^24,
-    den != 0) without the TPU's 2-ulp native divide: 26 quotient bits via
-    one int64 division, then RNE. Used for the triangle line slopes
+    den != 0) without the TPU's 2-ulp native divide: 26 exact quotient
+    bits via f32-estimated, integer-corrected long division, then RNE. Used for the triangle line slopes
     (device_prior.prior_coeff_wire ships these from host; the device path
     computes them in place)."""
     n = _i(num)
@@ -297,8 +318,27 @@ def f32_div_int(num, den):
     k = _i(lzn) - _i(lzd) + 26            # bitlen(x) = 63 - lz
     k = jnp.maximum(k, 0)
     scaled = na << _u(k)
-    q = scaled // da
-    r = scaled - q * da
+    # q = scaled // da in two f32-estimated stages (see _div_chunk for why
+    # a variable u64 `//` is forbidden on TPU). q < 2^27, so the first
+    # estimate's absolute error is < 2^27 * (2*2^-24 + 2*2^-23) + 1 < 49;
+    # the second stage divides the |residual| < 49*da remainder, leaving
+    # error < 2 for the exact where-corrections.
+    daf = da.astype(jnp.float32)
+    dai = _i(da)
+    q = _i(scaled.astype(jnp.float32) / daf)
+    r = _i(scaled) - q * dai
+    q = q + _i(r.astype(jnp.float32) / daf)
+    r = _i(scaled) - q * dai
+    for _ in range(2):
+        neg = r < 0
+        q = jnp.where(neg, q - 1, q)
+        r = jnp.where(neg, r + dai, r)
+    for _ in range(2):
+        big = r >= dai
+        q = jnp.where(big, q + 1, q)
+        r = jnp.where(big, r - dai, r)
+    q = _u(q)
+    r = _u(r)
     # q in [2^25, 2^27): v = n/d = (q + r/d) * 2^-k
     hi = q >= jnp.uint64(1 << 26)
     # hi: kept = q >> 3, E = 26 - k; lo: kept = q >> 2, E = 25 - k
