@@ -194,7 +194,7 @@ def _raster_mul_impl(corners_u, slope_bits, plane_bits, *, W, H):
 
 def _raster_add_impl(corners_u, corners_v, plane_bits, pvalid, paint_idx,
                      m_ac, m_ab, m_bc, s_ac, s_ab, s_bc, au, bv,
-                     *, W, H, chunk=64, slab=128):
+                     *, W, H, chunk=64, slab=48):
     """Scanline rasterization + plane evaluation: adds/compares ONLY (the
     multiplies arrive precomputed from _raster_mul_impl — see there for
     why). Plain f32 adds and C-semantics truncation are bit-identical to

@@ -390,12 +390,24 @@ def _raster_chunk(flat_dev, CH, Np, Tp, gh, gw, Db, W, H, gs):
         def rasters(s1, s2, pr1, pr2):
             return adds(s1, pr1), adds(s2, pr2)
 
-        _RASTER_JITS[key] = (jax.jit(coeffs),
-                             jax.jit(muls), jax.jit(rasters))
-    coeff_jit, mul_jit, add_jit = _RASTER_JITS[key]
+        def rasters_fused(s1, s2):
+            # TPU only: one executable for muls+adds. The mul/add split
+            # exists to forbid FMA contraction on XLA:CPU; the target TPU
+            # keeps mul and add as separate RNE ops in one executable
+            # (measured — device_prior._raster_mul_impl), so fusing there
+            # is bit-safe and saves the [CH, T, W] f32 product round-trip
+            # through HBM plus a dispatch.
+            return adds(s1, muls(s1)), adds(s2, muls(s2))
+
+        _RASTER_JITS[key] = (jax.jit(coeffs), jax.jit(muls),
+                             jax.jit(rasters), jax.jit(rasters_fused))
+    coeff_jit, mul_jit, add_jit, fused_jit = _RASTER_JITS[key]
     with jax.enable_x64(True):
         s1, s2 = coeff_jit(flat_dev)
-    m1, m2 = add_jit(s1, s2, mul_jit(s1), mul_jit(s2))
+    if jax.default_backend() == "tpu":
+        m1, m2 = fused_jit(s1, s2)
+    else:
+        m1, m2 = add_jit(s1, s2, mul_jit(s1), mul_jit(s2))
     return m1, m2, s1[6], s2[6]
 
 
@@ -471,6 +483,95 @@ def elas_match_batch_device(
     D1 = jnp.concatenate([o[0] for o in outs])
     D2 = jnp.concatenate([o[1] for o in outs])
     return D1, D2
+
+
+def elas_match_stream(
+    pairs,
+    params: ElasParams = ElasParams(),
+    use_native: Optional[bool] = None,
+    chunk: Optional[int] = None,
+    depth: int = 2,
+):
+    """Pipelined batched ELAS over a STREAM of (left, right) batch pairs.
+
+    Yields (D1, D2) device arrays per input batch, in order. Same numeric
+    contract as elas_match_batch_device (bit-exact stages); the difference
+    is scheduling: batch k+1's front segment is dispatched to the device
+    queue BEFORE batch k's raster/dense chain, so its candidate-grid
+    download and host prior work (support pruning + Delaunay, the serial
+    1-core stages) overlap batch k's device tail instead of stalling the
+    device. Steady-state throughput is max(device, host) per batch rather
+    than their sum — this is the production camera-stream shape
+    (point_cloud.cpp consumes a topic stream, not one batch).
+
+    depth: number of batches in flight (2 = classic double buffering).
+    """
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    if params.subsampling:
+        raise ValueError(
+            "batched path does not support subsampling; use elas_match")
+    if use_native is None:
+        use_native = _HAVE_NATIVE
+    it = iter(pairs)
+    static = _Static(params, _use_pallas())
+    gs = params.grid_size
+
+    def prep(fr, B, W, H, chunkB):
+        """Worker: download candidate grids (blocks on batch front),
+        run the host priors, flatten + upload the chunk wires."""
+        d1, d2, dcan_dev = fr
+        dcan = np.asarray(dcan_dev)
+        wires = [_prior_tri_job(dcan[b], params, W, H, use_native)
+                 for b in range(B)]
+        chunks = []
+        for c0 in range(0, B, chunkB):
+            w = wires[c0:c0 + chunkB]
+            Np, Tp = _chunk_pads(w)
+            chunks.append(
+                (jnp.asarray(_flatten_chunk_wire(w, Np, Tp)), Np, Tp, c0))
+        return d1, d2, chunks
+
+    with ThreadPoolExecutor(max_workers=depth) as pool:
+        pending = deque()
+
+        def start(pair):
+            left = jnp.asarray(pair[0])
+            right = jnp.asarray(pair[1])
+            B, H, W = left.shape
+            chunkB = chunk if chunk and chunk < B else B
+            if B % chunkB:
+                raise ValueError(f"chunk {chunkB} must divide batch {B}")
+            fr = _front(left, right, static)        # async dispatch
+            pending.append(
+                (pool.submit(prep, fr, B, W, H, chunkB), chunkB, W, H))
+
+        for _ in range(depth):
+            nxt = next(it, None)
+            if nxt is None:
+                break
+            start(nxt)
+        while pending:
+            fut, chunkB, W, H = pending.popleft()
+            d1, d2, chunks = fut.result()
+            nxt = next(it, None)
+            if nxt is not None:
+                start(nxt)                          # front(k+depth) first
+            gh, gw = -(-H // gs), -(-W // gs)
+            Db = params.disp_max + 1
+            outs = []
+            for flat, Np, Tp, c0 in chunks:
+                m1, m2, g1, g2 = _raster_chunk(
+                    flat, chunkB, Np, Tp, gh, gw, Db, W, H, gs)
+                sl = slice(c0, c0 + chunkB)
+                outs.append(
+                    _dense_post(d1[sl], d2[sl], *m1, g1, *m2, g2, static))
+            if len(outs) == 1:
+                yield outs[0]
+            else:
+                yield (jnp.concatenate([o[0] for o in outs]),
+                       jnp.concatenate([o[1] for o in outs]))
 
 
 def elas_match_batch(

@@ -27,8 +27,8 @@ _BIG = 1 << 30
 _WINDOW = 2
 
 
-def _elas_dense_kernel(q_ref, t_hbm, dplane_ref, pvalid_ref, pok_ref,
-                       grid_ref, out_ref, t_scr, sem,
+def _elas_dense_kernel(live_ref, q_ref, t_hbm, dplane_ref, pvalid_ref,
+                       pok_ref, grid_ref, out_ref, t_scr, sem,
                        *, D, TH, W, W_real, GS, radius, P_host, right_image,
                        DCH):
     """One row-band x one d-chunk. The d loop rides the innermost grid
@@ -37,7 +37,14 @@ def _elas_dense_kernel(q_ref, t_hbm, dplane_ref, pvalid_ref, pok_ref,
     to compile, a 32-chunk seconds). The running best KEY accumulates in
     the int32 out block across chunk steps — ascending-d visit order and
     therefore the reference tie-break are preserved exactly; the float
-    decode happens in the wrapper."""
+    decode happens in the wrapper.
+
+    live_ref (scalar prefetch, [B, n_tiles, n_dchunks] i32) gates the
+    whole compute body: a chunk with no grid candidate and no plane-window
+    overlap anywhere in the band contributes only _BIG keys, so skipping
+    it is bit-exact. ELAS evaluates ~tens of candidate disparities per
+    pixel; the live mask recovers that data-dependent sparsity (the wall
+    clock scales with the scene's disparity range, not with D)."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     dc = pl.program_id(2)
@@ -52,67 +59,72 @@ def _elas_dense_kernel(q_ref, t_hbm, dplane_ref, pvalid_ref, pok_ref,
         copy_t.start()
         copy_t.wait()
 
-    # per-channel [TH, W] planes (a [C, TH, W] intermediate per unrolled d
-    # blows the VMEM stack allocator)
-    q_planes = [q_ref[0, c].astype(jnp.int32) for c in range(C)]
-    # rolled-target formulation: unaligned lane-offset reads of the u8
-    # scratch materialize a realignment buffer PER READ (4096 of them blew
-    # the VMEM stack); instead keep the shifted target as loop-carried
-    # registers rolled one column per d (circular wrap lands only in the
-    # warp_ok-masked region). One dynamic roll re-bases each register at
-    # the chunk's d0; the per-d shifts stay static rolls-by-one.
-    roll_dir = W - 1 if right_image else 1
-    t_roll = [pltpu.roll(t_scr[c].astype(jnp.int32),
-                         (d0 * roll_dir) % W, 1) for c in range(C)]
-    d_plane = dplane_ref[0].astype(jnp.int32)   # [TH, W] (i16 wire)
-    prior = pvalid_ref[0].astype(jnp.int32)     # [TH, W] 0/1
-    pixel_ok = pok_ref[0] != 0                  # [TH, W] bool
-    col = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 1)
-
-    d_min = jnp.maximum(d_plane - radius, 0)
-    d_max = jnp.minimum(d_plane + radius, D - 1)
-
     @pl.when(dc == 0)
     def _init():
         out_ref[0] = jnp.full((TH, W), _BIG, jnp.int32)
 
-    best = out_ref[0]
-    sign = 1 if right_image else -1
-    for i_d in range(DCH):
-        d = d0 + i_d                            # dynamic scalar
-        cost = jnp.zeros((TH, W), jnp.int32)
-        for c in range(C):
-            diff = q_planes[c] - t_roll[c]
-            cost = cost + jnp.maximum(diff, -diff)
-        t_roll = [pltpu.roll(t, roll_dir, 1) for t in t_roll]
+    @pl.when(live_ref[b, i, dc] != 0)
+    def _compute():
+        # per-channel [TH, W] planes (a [C, TH, W] intermediate per
+        # unrolled d blows the VMEM stack allocator)
+        q_planes = [q_ref[0, c].astype(jnp.int32) for c in range(C)]
+        # rolled-target formulation: unaligned lane-offset reads of the u8
+        # scratch materialize a realignment buffer PER READ (4096 of them
+        # blew the VMEM stack); instead keep the shifted target as
+        # loop-carried registers rolled one column per d (circular wrap
+        # lands only in the warp_ok-masked region). One dynamic roll
+        # re-bases each register at the chunk's d0; the per-d shifts stay
+        # static rolls-by-one.
+        roll_dir = W - 1 if right_image else 1
+        t_roll = [pltpu.roll(t_scr[c].astype(jnp.int32),
+                             (d0 * roll_dir) % W, 1) for c in range(C)]
+        d_plane = dplane_ref[0].astype(jnp.int32)   # [TH, W] (i16 wire)
+        prior = pvalid_ref[0].astype(jnp.int32)     # [TH, W] 0/1
+        pixel_ok = pok_ref[0] != 0                  # [TH, W] bool
+        col = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 1)
 
-        warp = col + sign * d
-        warp_ok = (warp >= _WINDOW) & (warp < W_real - _WINDOW)
-        # grid candidates: rows at cell resolution (cols pixel-expanded on
-        # host); expand rows via broadcast+concat (cheap, no repeat op);
-        # the block streams this chunk's d slice, so index i_d is static
-        in_grid = jnp.concatenate(
-            [jnp.broadcast_to(grid_ref[0, j, i_d, :][None, :], (GS, W))
-             for j in range(TH // GS)], axis=0) != 0
-        in_win = (d >= d_min) & (d <= d_max)
-        cand = in_grid | in_win
-        dd = d - d_plane
-        add = jnp.maximum(dd, -dd)
-        pd = jnp.zeros((TH, W), jnp.int32)
-        for j, pj in enumerate(P_host):
-            pd = jnp.where(add == j, pj, pd)
-        val = cost + jnp.where(in_win, prior * pd, 0)
-        rank = jnp.where(in_win, 256 + d, d)
-        key = (val + _KEY_BIAS) * 512 + rank
-        key = jnp.where(cand & warp_ok & pixel_ok, key, _BIG)
-        # mask the padded d >= D tail arithmetically: a scalar-bool `&`
-        # against the vector mask makes Mosaic back-propagate a replicated
-        # i1 layout into the concat above (relayout ICE); max against
-        # live*_BIG is layout-neutral (keys are non-negative by _KEY_BIAS)
-        dead = jnp.where(d < D, 0, _BIG)        # traced scalar
-        best = jnp.minimum(best, jnp.maximum(key, dead))
+        d_min = jnp.maximum(d_plane - radius, 0)
+        d_max = jnp.minimum(d_plane + radius, D - 1)
 
-    out_ref[0] = best
+        best = out_ref[0]
+        sign = 1 if right_image else -1
+        for i_d in range(DCH):
+            d = d0 + i_d                            # dynamic scalar
+            cost = jnp.zeros((TH, W), jnp.int32)
+            for c in range(C):
+                diff = q_planes[c] - t_roll[c]
+                cost = cost + jnp.maximum(diff, -diff)
+            t_roll = [pltpu.roll(t, roll_dir, 1) for t in t_roll]
+
+            warp = col + sign * d
+            warp_ok = (warp >= _WINDOW) & (warp < W_real - _WINDOW)
+            # grid candidates: rows at cell resolution (cols
+            # pixel-expanded on host); expand rows via broadcast+concat
+            # (cheap, no repeat op); the block streams this chunk's d
+            # slice, so index i_d is static
+            in_grid = jnp.concatenate(
+                [jnp.broadcast_to(grid_ref[0, j, i_d, :][None, :], (GS, W))
+                 for j in range(TH // GS)], axis=0) != 0
+            in_win = (d >= d_min) & (d <= d_max)
+            cand = in_grid | in_win
+            dd = d - d_plane
+            add = jnp.maximum(dd, -dd)
+            pd = jnp.zeros((TH, W), jnp.int32)
+            for j, pj in enumerate(P_host):
+                pd = jnp.where(add == j, pj, pd)
+            val = cost + jnp.where(in_win, prior * pd, 0)
+            rank = jnp.where(in_win, 256 + d, d)
+            key = (val + _KEY_BIAS) * 512 + rank
+            key = jnp.where(cand & warp_ok & pixel_ok, key, _BIG)
+            # mask the padded d >= D tail arithmetically: a scalar-bool
+            # `&` against the vector mask makes Mosaic back-propagate a
+            # replicated i1 layout into the concat above (relayout ICE);
+            # max against live*_BIG is layout-neutral (keys are
+            # non-negative by _KEY_BIAS)
+            dead = jnp.where(d < D, 0, _BIG)        # traced scalar
+            best = jnp.minimum(best, jnp.maximum(key, dead))
+
+        out_ref[0] = best
 
 
 @functools.partial(jax.jit, static_argnames=("params", "right_image",
@@ -185,6 +197,24 @@ def elas_dense_pallas(
     pvalid = pad_hw(plane_valid.astype(jnp.uint8))
     pok = pad_hw(pixel_ok.astype(jnp.uint8))
 
+    # live mask [B, n_tiles, n_dchunks]: a d-chunk is dead for a row band
+    # when no grid cell in the band has a candidate in the chunk AND no
+    # pixel_ok pixel's plane window [d_plane - r, d_plane + r] overlaps it
+    # (then every key in the chunk is _BIG and the kernel may skip it).
+    radius = params.plane_radius
+    gm_band = grid_cols.reshape(B, n_tiles, TH // gs, Wp,
+                                n_dchunks, DCH) != 0
+    gany = gm_band.any(axis=(2, 3, 5))                     # [B, nt, nd]
+    dp32 = d_plane_p.astype(jnp.int32)
+    okm = pok != 0
+    wlo = jnp.where(okm, jnp.maximum(dp32 - radius, 0), Dp)
+    whi = jnp.where(okm, jnp.minimum(dp32 + radius, D - 1), -1)
+    d0s = jnp.arange(n_dchunks, dtype=jnp.int32) * DCH     # [nd]
+    ov = ((wlo[..., None] <= d0s + (DCH - 1)) &
+          (whi[..., None] >= d0s))                         # [B,Hp,Wp,nd]
+    wany = ov.reshape(B, n_tiles, TH, Wp, n_dchunks).any(axis=(2, 3))
+    live = (gany | wany).astype(jnp.int32)
+
     P_host = tuple(int(x) for x in prior_table(params)[:params.plane_radius + 1])
     kern = functools.partial(
         _elas_dense_kernel, D=D, TH=TH, W=Wp, W_real=W, GS=gs,
@@ -193,31 +223,36 @@ def elas_dense_pallas(
 
     def bs(shape3=False):
         if shape3:
-            return pl.BlockSpec((1, TH, Wp), lambda b, i, dc: (b, i, 0),
+            return pl.BlockSpec((1, TH, Wp),
+                                lambda b, i, dc, *refs: (b, i, 0),
                                 memory_space=pltpu.VMEM)
         return None
 
     best = pl.pallas_call(
         kern,
-        grid=(B, n_tiles, n_dchunks),
-        in_specs=[
-            pl.BlockSpec((1, C, TH, Wp), lambda b, i, dc: (b, 0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            bs(True),
-            bs(True),
-            bs(True),
-            pl.BlockSpec((1, TH // gs, DCH, Wp),
-                         lambda b, i, dc: (b, i, dc, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=bs(True),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, n_tiles, n_dchunks),
+            in_specs=[
+                pl.BlockSpec((1, C, TH, Wp),
+                             lambda b, i, dc, *refs: (b, 0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                bs(True),
+                bs(True),
+                bs(True),
+                pl.BlockSpec((1, TH // gs, DCH, Wp),
+                             lambda b, i, dc, *refs: (b, i, dc, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=bs(True),
+            scratch_shapes=[
+                pltpu.VMEM((C, TH, Wp), jnp.uint8),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
         out_shape=jax.ShapeDtypeStruct((B, Hp, Wp), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((C, TH, Wp), jnp.uint8),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )(qc, tc, d_plane_p, pvalid, pok, grid_hc)
+    )(live, qc, tc, d_plane_p, pvalid, pok, grid_hc)
     # decode the accumulated keys (kept in XLA where it fuses for free)
     best = best[:, :H, :W]
     d_best = (best % 512) % 256

@@ -163,6 +163,25 @@ def test_batch_matches_per_frame(use_native):
         np.testing.assert_array_equal(B2[b], D2)
 
 
+def test_stream_matches_batch():
+    """elas_match_stream (pipelined double-buffered scheduling) is
+    bit-identical to the one-shot batch path, per batch, in order."""
+    from jackal_tpu.matching.elas.pipeline import (elas_match_batch,
+                                                   elas_match_stream)
+    g = np.load(f"{FIX}/elas_golden_s320_flat.npz")
+    l0, r0 = g["left"][:96, :160], g["right"][:96, :160]
+    flat = np.full_like(l0, 100)
+    batches = [(np.stack([l0, flat]), np.stack([r0, flat])),
+               (np.stack([flat, l0]), np.stack([flat, r0])),
+               (np.stack([l0, l0]), np.stack([r0, r0]))]
+    outs = list(elas_match_stream(iter(batches), chunk=1))
+    assert len(outs) == len(batches)
+    for (lb, rb), (S1, S2) in zip(batches, outs):
+        B1, B2 = elas_match_batch(lb, rb, chunk=1)
+        np.testing.assert_array_equal(np.asarray(S1), B1)
+        np.testing.assert_array_equal(np.asarray(S2), B2)
+
+
 def test_degenerate_inputs():
     """Flat textureless images -> no support points -> all invalid."""
     flat = np.full((60, 80), 100, np.uint8)
