@@ -79,28 +79,43 @@ def bench_headline(jnp, calib):
 
 
 def bench_elas(jnp):
+    """ELAS steady-state streaming throughput (the production shape:
+    point_cloud.cpp consumes a camera stream, elas.cpp:32-151 runs per
+    frame). elas_match_stream double-buffers so batch k+1's host stages
+    (support pruning + Delaunay on this 1-core host) overlap batch k's
+    device tail; the first two batches are pipeline fill and excluded.
+    Inputs are device-resident, matching the other configs (the axon
+    tunnel's ~50 MB/s host link is a dev-harness artifact, not TPU I/O —
+    see docs/performance.md for the measured with-upload number)."""
     from jackal_tpu.config import ElasParams
-    from jackal_tpu.matching.elas.pipeline import elas_match_batch_device
+    from jackal_tpu.matching.elas.pipeline import elas_match_stream
 
-    B, H, W = 32, 480, 640
+    B, H, W = 16, 480, 640
+    NB = 10
     z, lb, rb = _fixture_batch(jnp, B, H, W)
     p = ElasParams()
-    out = [None]
 
-    def run():
-        D1, _ = elas_match_batch_device(lb, rb, p, chunk=4)
-        out[0] = D1
+    best = None
+    for _ in range(2):
+        t_start = None
+        n_done = 0
+        for i, (D1, D2) in enumerate(
+                elas_match_stream(((lb, rb) for _ in range(NB)), p,
+                                  chunk=4)):
+            float(D1.sum())               # consume like a real subscriber
+            if i == 1:
+                t_start = time.perf_counter()
+            elif i > 1:
+                n_done += 1
+        dt = (time.perf_counter() - t_start) / n_done
+        best = dt if best is None else min(best, dt)
 
-    def sync():
-        float(out[0].sum())
-
-    dt = _timeit(run, sync, iters=2, repeats=2)
-    D1 = np.asarray(out[0][0])
+    D1h = np.asarray(D1[0])
     ref = z["D1"]
-    both = (D1 >= 0) & (ref >= 0)
-    rmse = float(np.sqrt(np.mean((D1[both] - ref[both]) ** 2)))
-    mask_agree = float(np.mean((D1 >= 0) == (ref >= 0)))
-    return B / dt, rmse, mask_agree
+    both = (D1h >= 0) & (ref >= 0)
+    rmse = float(np.sqrt(np.mean((D1h[both] - ref[both]) ** 2)))
+    mask_agree = float(np.mean((D1h >= 0) == (ref >= 0)))
+    return B / best, rmse, mask_agree
 
 
 def bench_sgm(jnp, calib):

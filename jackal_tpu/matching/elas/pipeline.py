@@ -242,13 +242,14 @@ def elas_match(
 
 def _prior_tri_job(dcan_b, params, W, H, use_native):
     """Host prior for one frame, v3: support collection + the two Delaunay
-    triangulations ONLY. Everything the old coefficient wire computed on
-    host (f64 plane fit, corner sort, slope divisions, candidate grids) now
-    runs on device in bit-exact softfloat (device_prior._tri_coeffs_impl /
-    _grid_impl), so the wire is just (support, vertex indices): ~8
-    B/triangle + 6 B/point ≈ 55 KB/frame instead of ~320 KB — the upload
-    was the ELAS throughput bound on tunnel-attached TPUs (~10 ms/MB)."""
-    from .device_prior import tri_wire
+    triangulations + slab binning ONLY. Everything the old coefficient
+    wire computed on host (f64 plane fit, corner sort, slope divisions,
+    candidate grids) now runs on device in bit-exact softfloat
+    (device_prior._tri_coeffs_impl / _grid_impl), so the wire is just
+    (support, vertex indices, slab selection): ~65 KB/frame instead of
+    ~320 KB — the upload was the ELAS throughput bound on tunnel-attached
+    TPUs (~10 ms/MB)."""
+    from .device_prior import _RASTER_SLAB, slab_select, tri_wire
 
     if use_native:
         support = collect_support_points_native(dcan_b, params, W, H)
@@ -259,14 +260,19 @@ def _prior_tri_job(dcan_b, params, W, H, use_native):
         # uncovered everywhere -> the dense matcher emits all -10
         e3 = np.zeros((0, 3), np.int16)
         e1 = np.zeros((0,), np.int16)
-        return np.zeros((0, 3), np.int16), e3, e1, e3.copy(), e1.copy()
+        S = -(-H // _RASTER_SLAB)
+        es = np.full((S, 1), -1, np.int32)
+        return (np.zeros((0, 3), np.int16), e3, e1, e3.copy(), e1.copy(),
+                es, es.copy())
     left_pts = support[:, :2].astype(np.float32)
     right_pts = np.stack(
         [support[:, 0] - support[:, 2], support[:, 1]], -1
     ).astype(np.float32)
     t1, p1 = tri_wire(support, delaunay(left_pts))
     t2, p2 = tri_wire(support, delaunay(right_pts))
-    return support.astype(np.int16), t1, p1, t2, p2
+    sel1 = slab_select(support, t1, H, _RASTER_SLAB)
+    sel2 = slab_select(support, t2, H, _RASTER_SLAB)
+    return support.astype(np.int16), t1, p1, t2, p2, sel1, sel2
 
 
 def _pad_up(n: int, step: int = 512) -> int:
@@ -274,19 +280,24 @@ def _pad_up(n: int, step: int = 512) -> int:
 
 
 def _chunk_pads(wires):
-    """(Np, Tp) pads for a chunk, laddered to bound retraces."""
+    """(Np, Tp, Ts) pads for a chunk, laddered to bound retraces. Tp is
+    padded past the largest triangle count so index Tp-1 is always a
+    degenerate (empty-span, paint -1) row — the slab selections pad with
+    it."""
     Np = _pad_up(max(len(w[0]) for w in wires))
-    Tp = _pad_up(max(max(len(w[1]), len(w[3])) for w in wires))
-    return Np, Tp
+    Tp = _pad_up(max(max(len(w[1]), len(w[3])) for w in wires) + 1)
+    Ts = _pad_up(max(max(w[5].shape[1], w[6].shape[1]) for w in wires), 128)
+    return Np, Tp, Ts
 
 
-def _flatten_chunk_wire(wires, Np, Tp) -> np.ndarray:
-    """ONE int32 buffer for a whole chunk: padded support triples + both
-    sides' padded (triangle, paint) index arrays, all int16. On
-    tunnel-attached TPUs every host->device transfer pays ~25 ms RTT, so
-    both transfer COUNT and bytes matter; this is one upload of ~55
-    KB/frame. Padded support rows carry d = -1 (grid-masked); padded
-    triangle rows index support[0] thrice (empty raster span)."""
+def _flatten_chunk_wire(wires, Np, Tp, Ts) -> np.ndarray:
+    """ONE int32 buffer for a whole chunk: padded support triples, both
+    sides' padded (triangle, paint) index arrays, then both sides' slab
+    selections, all int16. On tunnel-attached TPUs every host->device
+    transfer pays ~25 ms RTT, so both transfer COUNT and bytes matter;
+    this is one upload of ~65 KB/frame. Padded support rows carry d = -1
+    (grid-masked); padded triangle rows index support[0] thrice (empty
+    raster span); padded selection slots index the degenerate row Tp-1."""
     from .device_prior import pad_tri_wire
 
     parts = []
@@ -303,29 +314,46 @@ def _flatten_chunk_wire(wires, Np, Tp) -> np.ndarray:
             tris[i], paints[i] = t, p
         parts.append(tris.reshape(-1).view(np.int32))
         parts.append(paints.reshape(-1).view(np.int32))
+    for si in (5, 6):
+        S = wires[0][si].shape[0]
+        sels = np.full((len(wires), S, Ts), Tp - 1, np.int16)
+        for i, w in enumerate(wires):
+            s = w[si]
+            sels[i, :, :s.shape[1]] = np.where(s < 0, Tp - 1, s)
+        parts.append(sels.reshape(-1).view(np.int32))
     return np.concatenate(parts).astype(np.int32, copy=False)
 
 
 _RASTER_JITS = {}
 
 
-def _raster_chunk(flat_dev, CH, Np, Tp, gh, gw, Db, W, H, gs):
+def _raster_chunk(flat_dev, CH, Np, Tp, Ts, gh, gw, Db, W, H, gs):
     """Unflatten one chunk wire on device, compute the per-triangle
     coefficients (softfloat f64 plane fit + correctly-rounded f32 slopes),
     build the candidate grids, and rasterize both sides' prior maps —
     bit-exact to the host engine. Returns ((dp, valid, covered) x2,
-    grid bool x2), all device arrays, in THREE dispatches: coeffs+grids
-    (traced under x64 for the softfloat int64 lanes), raster multiplies,
-    raster adds (the mul/add split forbids FMA contraction on XLA:CPU —
-    see device_prior._raster_mul_impl)."""
+    grid bool x2), all device arrays. THREE dispatches: coeffs+grids
+    (traced under x64 for the softfloat int64 lanes), slab-raster
+    multiplies, slab-raster adds — the mul/add split forbids FMA
+    contraction on XLA:CPU (see device_prior._raster_mul_impl); on TPU
+    the last two fuse into one executable (no contraction there,
+    verified bitwise on hardware).
+
+    The raster is the slab form (device_prior._slab_raster_impl):
+    host-binned row bands, packed-key winner max, ONE parallel reduce —
+    the old per-64-triangle fori/cond scanline loop spent ~5x its ALU
+    cost on sequential-loop overhead."""
     import jax
 
-    key = (CH, Np, Tp, gh, gw, Db, W, H, gs)
+    key = (CH, Np, Tp, Ts, gh, gw, Db, W, H, gs)
     if key not in _RASTER_JITS:
         import jax.numpy as jnp
         from functools import partial
-        from .device_prior import (_grid_impl, _raster_add_impl,
-                                   _raster_mul_impl, _tri_coeffs_impl)
+        from .device_prior import (_RASTER_SLAB, _grid_impl,
+                                   _slab_products_impl, _slab_raster_impl,
+                                   _tri_coeffs_impl)
+
+        S = -(-H // _RASTER_SLAB)
 
         def unflat(flat):
             pos = [0]
@@ -342,7 +370,10 @@ def _raster_chunk(flat_dev, CH, Np, Tp, gh, gw, Db, W, H, gs):
                 tri = take(CH * Tp * 3 // 2).reshape(CH, Tp, 3) \
                     .astype(jnp.int32)
                 paint = take(CH * Tp // 2).reshape(CH, Tp)
-                sides.append((tri, paint))
+                sides.append([tri, paint])
+            for s in sides:
+                s.append(take(CH * S * Ts // 2).reshape(CH, S, Ts)
+                         .astype(jnp.int32))
             return sp, sides
 
         def coeffs(flat):
@@ -355,37 +386,39 @@ def _raster_chunk(flat_dev, CH, Np, Tp, gh, gw, Db, W, H, gs):
                 sp_flat = sp.reshape(CH * Np, 3)
                 offs = (jnp.arange(CH, dtype=jnp.int32)
                         * Np)[:, None, None]
+                toffs = (jnp.arange(CH, dtype=jnp.int32)
+                         * Tp)[:, None, None]
                 out = []
-                for (tri, paint), right in zip(sides, (False, True)):
+                for (tri, paint, sel), right in zip(sides, (False, True)):
                     tri_flat = (tri + offs).reshape(CH * Tp, 3)
                     cu, cv, sb, pb, pv = partial(
                         _tri_coeffs_impl, right=right)(sp_flat, tri_flat)
-                    cu = cu.reshape(CH, Tp, 3)
-                    cv = cv.reshape(CH, Tp, 2)
-                    sb = sb.reshape(CH, Tp, 3)
-                    pb = pb.reshape(CH, Tp, 3)
-                    pv = pv.reshape(CH, Tp)
                     grid = jax.vmap(partial(
                         _grid_impl, right=right, gs=gs, gh=gh, gw=gw,
                         disp_max=Db - 1))(sp)
+                    sel_flat = (sel + toffs).reshape(CH * S * Ts)
                     out.append((cu.astype(jnp.int16), cv.astype(jnp.int16),
-                                sb, pb, pv, paint, grid))
+                                sb, pb, pv, paint.reshape(CH * Tp),
+                                grid, sel_flat))
                 return tuple(out)
 
+        def _row0():
+            base = (jnp.arange(S, dtype=jnp.int32)
+                    * _RASTER_SLAB)[None, :, None]
+            return jnp.broadcast_to(base, (CH, S, Ts)).reshape(-1)
+
         def muls(side):
-            cu, cv, sb, pb, pv, paint, grid = side
-            return jax.vmap(partial(_raster_mul_impl, W=W, H=H))(
-                cu, sb, pb)
+            cu, cv, sb, pb, pv, paint, grid, sel = side
+            return _slab_products_impl(
+                sel, _row0(), cu.astype(jnp.int32), sb, pb,
+                W=W, slab=_RASTER_SLAB)
 
         def adds(side, pr):
-            cu, cv, sb, pb, pv, pidx, grid = side
-            impl = partial(_raster_add_impl, W=W, H=H)
-            # lax.map, NOT vmap: the raster's short-slab/full-height
-            # lax.cond stays a real branch per frame (vmap would execute
-            # both branches for every frame)
-            return jax.lax.map(
-                lambda a: impl(a[0], a[1], a[2], a[3], a[4], *a[5:]),
-                (cu, cv, pb, pv, pidx, *pr))
+            cu, cv, sb, pb, pv, paint, grid, sel = side
+            return _slab_raster_impl(
+                sel, _row0(), cu.astype(jnp.int32), cv.astype(jnp.int32),
+                pb, pv, paint, *pr,
+                CH=CH, S=S, Ts=Ts, W=W, H=H, slab=_RASTER_SLAB)
 
         def rasters(s1, s2, pr1, pr2):
             return adds(s1, pr1), adds(s2, pr2)
@@ -395,8 +428,7 @@ def _raster_chunk(flat_dev, CH, Np, Tp, gh, gw, Db, W, H, gs):
             # exists to forbid FMA contraction on XLA:CPU; the target TPU
             # keeps mul and add as separate RNE ops in one executable
             # (measured — device_prior._raster_mul_impl), so fusing there
-            # is bit-safe and saves the [CH, T, W] f32 product round-trip
-            # through HBM plus a dispatch.
+            # is bit-safe and keeps the products out of HBM.
             return adds(s1, muls(s1)), adds(s2, muls(s2))
 
         _RASTER_JITS[key] = (jax.jit(coeffs), jax.jit(muls),
@@ -458,8 +490,9 @@ def elas_match_batch_device(
         frames' host priors are done — the transfer (GIL-released) then
         overlaps the host prior work of later chunks on this 1-core box."""
         wires = [prior_futs[b].result() for b in range(c0, c0 + chunk)]
-        Np, Tp = _chunk_pads(wires)
-        return jnp.asarray(_flatten_chunk_wire(wires, Np, Tp)), Np, Tp
+        Np, Tp, Ts = _chunk_pads(wires)
+        return (jnp.asarray(_flatten_chunk_wire(wires, Np, Tp, Ts)),
+                Np, Tp, Ts)
 
     outs = []
     with ThreadPoolExecutor(max_workers=3) as pool:
@@ -471,8 +504,8 @@ def elas_match_batch_device(
         up_futs = [pool.submit(upload_chunk, prior_futs, c0)
                    for c0 in range(0, B, chunk)]
         for c0, uf in zip(range(0, B, chunk), up_futs):
-            flat, Np, Tp = uf.result()
-            m1, m2, g1, g2 = _raster_chunk(flat, chunk, Np, Tp, gh, gw,
+            flat, Np, Tp, Ts = uf.result()
+            m1, m2, g1, g2 = _raster_chunk(flat, chunk, Np, Tp, Ts, gh, gw,
                                            Db, W, H, gs)
             sl = slice(c0, c0 + chunk)
             outs.append(
@@ -528,9 +561,10 @@ def elas_match_stream(
         chunks = []
         for c0 in range(0, B, chunkB):
             w = wires[c0:c0 + chunkB]
-            Np, Tp = _chunk_pads(w)
+            Np, Tp, Ts = _chunk_pads(w)
             chunks.append(
-                (jnp.asarray(_flatten_chunk_wire(w, Np, Tp)), Np, Tp, c0))
+                (jnp.asarray(_flatten_chunk_wire(w, Np, Tp, Ts)),
+                 Np, Tp, Ts, c0))
         return d1, d2, chunks
 
     with ThreadPoolExecutor(max_workers=depth) as pool:
@@ -561,9 +595,9 @@ def elas_match_stream(
             gh, gw = -(-H // gs), -(-W // gs)
             Db = params.disp_max + 1
             outs = []
-            for flat, Np, Tp, c0 in chunks:
+            for flat, Np, Tp, Ts, c0 in chunks:
                 m1, m2, g1, g2 = _raster_chunk(
-                    flat, chunkB, Np, Tp, gh, gw, Db, W, H, gs)
+                    flat, chunkB, Np, Tp, Ts, gh, gw, Db, W, H, gs)
                 sl = slice(c0, c0 + chunkB)
                 outs.append(
                     _dense_post(d1[sl], d2[sl], *m1, g1, *m2, g2, static))
@@ -657,9 +691,9 @@ def elas_match_batch_multichip(
 
     def upload_chunk(prior_futs, c0, dev):
         wires = [prior_futs[b].result() for b in range(c0, c0 + chunk)]
-        Np, Tp = _chunk_pads(wires)
-        flat = _flatten_chunk_wire(wires, Np, Tp)
-        return jax.device_put(flat, dev), Np, Tp
+        Np, Tp, Ts = _chunk_pads(wires)
+        flat = _flatten_chunk_wire(wires, Np, Tp, Ts)
+        return jax.device_put(flat, dev), Np, Tp, Ts
 
     outs = [[] for _ in devices]
     with ThreadPoolExecutor(max_workers=3) as pool:
@@ -672,8 +706,8 @@ def elas_match_batch_multichip(
             (i, pool.submit(upload_chunk, prior_futs[i], c0, devices[i]))
             for c0 in range(0, Bs, chunk) for i in range(n)]
         for i, uf in up_futs:
-            flat, Np, Tp = uf.result()
-            m1, m2, g1, g2 = _raster_chunk(flat, chunk, Np, Tp, gh, gw,
+            flat, Np, Tp, Ts = uf.result()
+            m1, m2, g1, g2 = _raster_chunk(flat, chunk, Np, Tp, Ts, gh, gw,
                                            Db, W, H, gs)
             d1, d2, _ = fronts[i]
             c0 = (len(outs[i])) * chunk

@@ -63,9 +63,9 @@ def main():
              for b in range(B)]
     t["host prior x16 serial"] = time.perf_counter() - t0
 
-    Np, Tp = P._chunk_pads(wires)
+    Np, Tp, Ts = P._chunk_pads(wires)
     t0 = time.perf_counter()
-    flats = [P._flatten_chunk_wire(wires[c:c + CH], Np, Tp)
+    flats = [P._flatten_chunk_wire(wires[c:c + CH], Np, Tp, Ts)
              for c in range(0, B, CH)]
     t["host flatten x4"] = time.perf_counter() - t0
     print(f"  (Np={Np}, Tp={Tp}, wire {flats[0].nbytes/1e3:.0f} KB/chunk)")
@@ -78,7 +78,7 @@ def main():
     maps = [None]
 
     def raster():
-        maps[0] = [P._raster_chunk(fd, CH, Np, Tp, gh, gw, Db, W, H,
+        maps[0] = [P._raster_chunk(fd, CH, Np, Tp, Ts, gh, gw, Db, W, H,
                                    params.grid_size)
                    for fd in fdevs]
     t["device coeff+raster x4"] = dev_time(raster, maps, iters=2)

@@ -39,9 +39,9 @@ def main():
     dcan = np.asarray(dcan_dev)
     wires = [P._prior_tri_job(dcan[b], params, W, H, True)
              for b in range(B)]
-    Np, Tp = P._chunk_pads(wires)
-    flat = jnp.asarray(P._flatten_chunk_wire(wires, Np, Tp))
-    m1, m2, g1, g2 = P._raster_chunk(flat, CH, Np, Tp, gh, gw, Db, W, H,
+    Np, Tp, Ts = P._chunk_pads(wires)
+    flat = jnp.asarray(P._flatten_chunk_wire(wires, Np, Tp, Ts))
+    m1, m2, g1, g2 = P._raster_chunk(flat, CH, Np, Tp, Ts, gh, gw, Db, W, H,
                                      params.grid_size)
 
     def bench(label, jit_fn, *args, n=6):
