@@ -90,7 +90,7 @@ def bench_elas(jnp):
     from jackal_tpu.config import ElasParams
     from jackal_tpu.matching.elas.pipeline import elas_match_stream
 
-    B, H, W = 16, 480, 640
+    B, H, W = 32, 480, 640
     NB = 10
     z, lb, rb = _fixture_batch(jnp, B, H, W)
     p = ElasParams()

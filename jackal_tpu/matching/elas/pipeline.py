@@ -632,10 +632,10 @@ def elas_match_batch_multichip(
     """ELAS data parallelism over chips: replica-per-device, frame-sharded.
 
     DESIGN (SURVEY §2.4 DP row). ELAS is the one engine with a per-frame
-    host stage (support pruning + 2x Delaunay, ~1-3 ms/frame), so mesh-jit
-    DP like dp_sharded_step does not apply: the device program's raster
-    uses lax.map over frames (a sequential scan a mesh cannot partition)
-    and the host stage sits mid-pipeline. The TPU-native shape is instead
+    host stage (support pruning + 2x Delaunay + slab binning, ~5
+    ms/frame), so mesh-jit DP like dp_sharded_step does not apply: the
+    host stage sits mid-pipeline, so there is no single jittable step to
+    shard. The TPU-native shape is instead
     REPLICA parallelism — each chip runs the single-chip chunked pipeline
     on its frame shard, exactly like the reference's process-level
     parallelism runs one ELAS per node (launch/stereo.launch):
