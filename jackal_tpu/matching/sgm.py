@@ -36,7 +36,16 @@ import jax.numpy as jnp
 from ..config import SGMParams
 from ..ops.shifts import shifted_row_lookup
 
-_INVALID = jnp.int32(1 << 20)
+# int16 value domain (both engines — the Pallas wavefront keeps the DP in
+# int16 vregs/DMA, doubling VPU width and halving the volume's HBM
+# traffic; the jnp scan engine uses the SAME sentinels and clamp points
+# so the two remain bit-identical). Real values are tiny: census cost
+# <= 24, per-path increments <= p2 (86), 8-path sums <= ~900. Sentinel
+# cells (d > u, borders) carry clamped garbage in BOTH engines; the
+# clamps bind only there.
+_INVALID = jnp.int16(12000)      # cost-volume "no such pair" sentinel
+_CARRY_BIG = 28000               # DP carry clamp / edge reset
+_WTA_BIG = jnp.int32(30000)      # WTA exclusion sentinel (> any volume)
 
 
 def census5x5(img_u8: jnp.ndarray) -> jnp.ndarray:
@@ -76,11 +85,27 @@ def census_cost_volume(cl: jnp.ndarray, cr: jnp.ndarray, D: int
 
     def body(d, _):
         shifted = jax.lax.dynamic_slice_in_dim(cr_pad, D - d, W, axis=1)
-        c = _popcount(cl ^ shifted)
+        c = _popcount(cl ^ shifted).astype(jnp.int16)
         return d + 1, jnp.where((u - d >= 0)[None, :], c, _INVALID)
 
     _, out = jax.lax.scan(body, 0, None, length=D)
     return out
+
+
+def census_cost_volume_hdw(cl: jnp.ndarray, cr: jnp.ndarray, D: int
+                           ) -> jnp.ndarray:
+    """census_cost_volume in [H, D, W] layout (what the Pallas wavefront
+    consumes) built DIRECTLY — one materialization instead of a [D, H, W]
+    scan followed by a 300 MB moveaxis. Values identical."""
+    H, W = cl.shape
+    u = jnp.arange(W)
+    cr_pad = jnp.pad(cr, ((0, 0), (D, 0)))
+    slabs = []
+    for d in range(D):
+        shifted = jax.lax.dynamic_slice_in_dim(cr_pad, D - d, W, axis=1)
+        c = _popcount(cl ^ shifted).astype(jnp.int16)
+        slabs.append(jnp.where((u - d >= 0)[None, :], c, _INVALID)[:, None])
+    return jnp.concatenate(slabs, axis=1)
 
 
 def _path_scan(cost_thw: jnp.ndarray, p1: int, p2: int, shift: int
@@ -88,7 +113,7 @@ def _path_scan(cost_thw: jnp.ndarray, p1: int, p2: int, shift: int
     """DP over axis 0 of [T, W, D]; shift in {-1, 0, +1} rolls the carry one
     column per step (diagonal paths)."""
     T, W, D = cost_thw.shape
-    BIG = jnp.int32(1 << 24)
+    BIG = jnp.int16(_CARRY_BIG)
 
     def step(carry, c):
         prev = carry
@@ -97,11 +122,17 @@ def _path_scan(cost_thw: jnp.ndarray, p1: int, p2: int, shift: int
             edge = 0 if shift == 1 else W - 1
             prev = prev.at[edge].set(BIG)
         m = jnp.min(prev, axis=1, keepdims=True)          # [W, 1]
-        up = jnp.concatenate([prev[:, :1] + BIG, prev[:, :-1]], axis=1)
-        dn = jnp.concatenate([prev[:, 1:], prev[:, -1:] + BIG], axis=1)
+        # d-range boundary: the missing d-/+1 neighbour is a plain BIG
+        # sentinel row (the old prev+BIG overflow trick exceeds int16;
+        # BIG+p1 < 2^15 and prev <= cost+p2 < BIG at real cells, so the
+        # boundary candidate still never wins). (best - m) <= p2 before
+        # the add keeps every int16 intermediate wrap-free.
+        cap = jnp.full_like(prev[:, :1], BIG)
+        up = jnp.concatenate([cap, prev[:, :-1]], axis=1)
+        dn = jnp.concatenate([prev[:, 1:], cap], axis=1)
         best = jnp.minimum(jnp.minimum(prev, m + p2),
                            jnp.minimum(up + p1, dn + p1))
-        out = c + best - m
+        out = c + (best - m)
         # keep invalid costs from poisoning the carry
         out = jnp.minimum(out, BIG)
         return out, out
@@ -111,27 +142,38 @@ def _path_scan(cost_thw: jnp.ndarray, p1: int, p2: int, shift: int
     return jnp.concatenate([init[None], path], axis=0)
 
 
+def _clamp16(x_i32: jnp.ndarray) -> jnp.ndarray:
+    """Pass-group clamp: i32 partial sum -> int16 volume. Real sums are
+    <= ~900; the clamp binds only at sentinel cells, keeping every stored
+    volume int16. BOTH engines clamp at the same pass boundaries (down
+    group, up group + down, each horizontal pass, final sum), so they
+    stay bit-identical including sentinel garbage."""
+    return jnp.minimum(x_i32, jnp.int32(_CARRY_BIG)).astype(jnp.int16)
+
+
 def aggregate_paths(cost: jnp.ndarray, params: SGMParams) -> jnp.ndarray:
-    """8-path SGM aggregation. cost: [D, H, W] -> S: [D, H, W] int32."""
+    """8-path SGM aggregation. cost: [D, H, W] int16 -> S: [D, H, W] int16.
+
+    Grouped exactly like the Pallas wavefront engine: one down group
+    (vertical + both down-diagonals), one up group added onto it, the two
+    horizontal passes, then the final sum — each group accumulated in
+    int32 and clamped back to the int16 domain (_clamp16)."""
     D, H, W = cost.shape
     p1, p2 = params.p1, params.p2
     c_hwd = jnp.moveaxis(cost, 0, -1)           # [H, W, D]
 
-    S = jnp.zeros((H, W, D), jnp.int32)
+    def i32(x):
+        return x.astype(jnp.int32)
+
+    shifts = (0, +1, -1) if params.num_paths >= 8 else (0,)
+    down = sum(i32(_path_scan(c_hwd, p1, p2, s)) for s in shifts)
+    up = sum(i32(_path_scan(c_hwd[::-1], p1, p2, s)) for s in shifts)[::-1]
+    Sv = _clamp16(i32(_clamp16(down)) + up)
     # left->right / right->left: scan over columns => transpose to [W, H, D]
     c_whd = jnp.swapaxes(c_hwd, 0, 1)
-    S = S + jnp.swapaxes(_path_scan(c_whd, p1, p2, 0), 0, 1)
-    S = S + jnp.swapaxes(
-        _path_scan(c_whd[::-1], p1, p2, 0)[::-1], 0, 1)
-    # top->bottom / bottom->top: scan over rows [H, W, D]
-    S = S + _path_scan(c_hwd, p1, p2, 0)
-    S = S + _path_scan(c_hwd[::-1], p1, p2, 0)[::-1]
-    if params.num_paths >= 8:
-        # diagonals: scan over rows with column shift
-        S = S + _path_scan(c_hwd, p1, p2, +1)
-        S = S + _path_scan(c_hwd, p1, p2, -1)
-        S = S + _path_scan(c_hwd[::-1], p1, p2, +1)[::-1]
-        S = S + _path_scan(c_hwd[::-1], p1, p2, -1)[::-1]
+    h1 = _clamp16(i32(_path_scan(c_whd, p1, p2, 0)))
+    h2 = _clamp16(i32(h1) + i32(_path_scan(c_whd[::-1], p1, p2, 0)[::-1]))
+    S = _clamp16(i32(Sv) + i32(jnp.swapaxes(h2, 0, 1)))
     return jnp.moveaxis(S, -1, 0)               # [D, H, W]
 
 
@@ -156,11 +198,13 @@ def right_view_volume(vol: jnp.ndarray) -> jnp.ndarray:
     (cost_R(u,d) compares the same pixel pair as cost_L(u+d,d))."""
     D, H, W = vol.shape
     u = jnp.arange(W)
-    v_pad = jnp.pad(vol, ((0, 0), (0, 0), (0, D)), constant_values=1 << 20)
+    v_pad = jnp.pad(vol, ((0, 0), (0, 0), (0, D)),
+                    constant_values=int(_INVALID))
 
     def body(d, _):
         c = jax.lax.dynamic_slice_in_dim(v_pad[d], d, W, axis=1)
-        return d + 1, jnp.where((u + d < W)[None, :], c, _INVALID)
+        return d + 1, jnp.where((u + d < W)[None, :], c,
+                                _INVALID.astype(vol.dtype))
 
     _, out = jax.lax.scan(body, 0, None, length=D)
     return out
@@ -189,16 +233,17 @@ def _finalize(S: jnp.ndarray, params: SGMParams, S_right=None
     D, H, W = S.shape
 
     def wta_maps(vol):
+        vol = vol.astype(jnp.int32)
         best_d = jnp.argmin(vol, axis=0).astype(jnp.int32)
         best = jnp.min(vol, axis=0)
         ds = jnp.arange(D)[:, None, None]
         near = jnp.abs(ds - best_d[None]) <= 1
-        second = jnp.min(jnp.where(near, jnp.int32(1 << 24), vol), axis=0)
+        second = jnp.min(jnp.where(near, _WTA_BIG, vol), axis=0)
         # neighbor costs via masked reductions (no per-pixel gathers)
-        cm = jnp.min(jnp.where(ds == best_d[None] - 1, vol,
-                               jnp.int32(1 << 24)), axis=0)
-        cp = jnp.min(jnp.where(ds == best_d[None] + 1, vol,
-                               jnp.int32(1 << 24)), axis=0)
+        cm = jnp.min(jnp.where(ds == best_d[None] - 1, vol, _WTA_BIG),
+                     axis=0)
+        cp = jnp.min(jnp.where(ds == best_d[None] + 1, vol, _WTA_BIG),
+                     axis=0)
         return best, best_d, second, cm, cp
 
     dL = _wta_from_maps(*wta_maps(S), D, params)
@@ -241,16 +286,18 @@ def sgm_match_pallas(
     D = params.disp_num
     cl = jax.vmap(census5x5)(left_b)
     cr = jax.vmap(census5x5)(right_b)
-    cost = jax.vmap(lambda a, b: census_cost_volume(a, b, D))(cl, cr)
-    S = aggregate_paths_pallas_bhdw(cost, params)     # [B, H, D, W]
+    cost = jax.vmap(lambda a, b: census_cost_volume_hdw(a, b, D))(cl, cr)
+    S = aggregate_paths_pallas_bhdw(cost, params,
+                                    hdw_layout=True)  # [B, H, D, W]
     m = sgm_wta_maps_pallas(S).astype(jnp.int32)      # [B, H, 10, W]
     dL = _wta_from_maps(m[:, :, 0], m[:, :, 1], m[:, :, 2],
                         m[:, :, 3], m[:, :, 4], D, params)
     if params.true_right:
         # reference-grade: the right volume gets its own 8-path DP; its
         # direct (left-view) WTA maps are rows 0-4 of the maps kernel
-        cost_r = jax.vmap(right_view_volume)(cost)
-        SRv = aggregate_paths_pallas_bhdw(cost_r, params)
+        cost_r = jnp.moveaxis(
+            jax.vmap(right_view_volume)(jnp.moveaxis(cost, 2, 1)), 1, 2)
+        SRv = aggregate_paths_pallas_bhdw(cost_r, params, hdw_layout=True)
         mr = sgm_wta_maps_pallas(SRv).astype(jnp.int32)
         dR = _wta_from_maps(mr[:, :, 0], mr[:, :, 1], mr[:, :, 2],
                             mr[:, :, 3], mr[:, :, 4], D, params)

@@ -27,15 +27,27 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BIG = 1 << 24
+from ...matching.sgm import _CARRY_BIG, _INVALID
+
+# int16 domain shared with matching.sgm (see the constants there): the DP
+# carries, cost rows and stored volumes are int16 — double VPU width,
+# half the HBM traffic of the 300 MB volumes; per-pass totals accumulate
+# in int32 registers and clamp back to _CARRY_BIG on store.
+_BIG = _CARRY_BIG
 
 
 def _sgm_dir_kernel(cost_hbm, out_hbm, ibuf, obuf, isem, osem,
-                    *, H, D, W, W_real, p1, p2, shifts, reverse):
+                    *, H, D, W, W_real, p1, p2, shifts, reverse,
+                    abuf=None, asem=None, add_hbm=None):
+    """One DP direction. When add_hbm is given, its rows are DMA'd
+    alongside the cost rows and added into the written total — fusing the
+    XLA `S_down + S_up` pass (945 MB of traffic per add at 1280x960/64)
+    into the walk."""
     b = pl.program_id(0)
     n_shift = len(shifts)
     col = jax.lax.broadcasted_iota(jnp.int32, (D, W), 1)
     padded = W_real < W
+    fuse_add = add_hbm is not None
 
     def row(i):
         return H - 1 - i if reverse else i
@@ -44,30 +56,49 @@ def _sgm_dir_kernel(cost_hbm, out_hbm, ibuf, obuf, isem, osem,
         return pltpu.make_async_copy(
             cost_hbm.at[b, row(i)], ibuf.at[slot], isem.at[slot])
 
+    def dma_add(slot, i):
+        return pltpu.make_async_copy(
+            add_hbm.at[b, row(i)], abuf.at[slot], asem.at[slot])
+
     def dma_out(slot, i):
         return pltpu.make_async_copy(
             obuf.at[slot], out_hbm.at[b, row(i)], osem.at[slot])
 
+    # int16 is the STORAGE dtype only (Mosaic's int16 vector ops are
+    # spotty: no reductions, no rotates); every slab upcasts to int32
+    # right after its DMA and all arithmetic is native 32-bit. Values are
+    # wrap-free in both widths (see matching.sgm constants), so this is
+    # bit-equal to the int16-computing jnp engine.
     dma_in(0, 0).start()
+    if fuse_add:
+        dma_add(0, 0).start()
     dma_in(0, 0).wait()
-    init = jnp.minimum(ibuf[0], _BIG)
+    init = jnp.minimum(ibuf[0].astype(jnp.int32), _BIG)
     if padded:
         init = jnp.where(col < W_real, init, _BIG)
-    obuf[0] = init * n_shift
+    first = init * n_shift
+    if fuse_add:
+        dma_add(0, 0).wait()
+        first = first + abuf[0].astype(jnp.int32)
+        dma_add(1, 1).start()
+    obuf[0] = jnp.minimum(first, _BIG).astype(jnp.int16)
     dma_out(0, 0).start()
     dma_in(1, 1).start()
 
     def step(i, carries):
         slot = i % 2
         dma_in(slot, i).wait()
-        c = ibuf[slot]
+        c = ibuf[slot].astype(jnp.int32)
 
         @pl.when(i + 1 < H)
         def _():
             dma_in((i + 1) % 2, i + 1).start()
+            if fuse_add:
+                dma_add((i + 1) % 2, i + 1).start()
 
         total = jnp.zeros((D, W), jnp.int32)
         new_carries = []
+        cap = jnp.full((1, W), _BIG, jnp.int32)
         for p, s in enumerate(shifts):
             prev = carries[p]
             if s:
@@ -75,21 +106,27 @@ def _sgm_dir_kernel(cost_hbm, out_hbm, ibuf, obuf, isem, osem,
                 edge = 0 if s == 1 else W_real - 1
                 prev = jnp.where(col == edge, _BIG, prev)
             m = jnp.min(prev, axis=0, keepdims=True)            # [1, W]
-            up = jnp.concatenate([prev[0:1] + _BIG, prev[0:D - 1]], axis=0)
-            dn = jnp.concatenate([prev[1:D], prev[D - 1:D] + _BIG], axis=0)
+            # d-range boundary = plain BIG sentinel row (matching the
+            # int16 jnp engine, where prev+BIG would wrap)
+            up = jnp.concatenate([cap, prev[0:D - 1]], axis=0)
+            dn = jnp.concatenate([prev[1:D], cap], axis=0)
             best = jnp.minimum(jnp.minimum(prev, m + p2),
                                jnp.minimum(up + p1, dn + p1))
-            out = jnp.minimum(c + best - m, _BIG)
+            out = jnp.minimum(c + (best - m), _BIG)
             if padded:
                 out = jnp.where(col < W_real, out, _BIG)
             new_carries.append(out)
             total = total + out
 
+        if fuse_add:
+            dma_add(slot, i).wait()
+            total = total + abuf[slot].astype(jnp.int32)
+
         # output slot reuse: the DMA issued 2 rows ago must have retired
         @pl.when(i >= 2)
         def _():
             dma_out(slot, i - 2).wait()
-        obuf[slot] = total
+        obuf[slot] = jnp.minimum(total, _BIG).astype(jnp.int16)
         dma_out(slot, i).start()
         return tuple(new_carries)
 
@@ -101,51 +138,80 @@ def _sgm_dir_kernel(cost_hbm, out_hbm, ibuf, obuf, isem, osem,
 
 @functools.partial(jax.jit,
                    static_argnames=("p1", "p2", "shifts", "reverse"))
-def sgm_paths_dir_pallas(cost_bhdw, p1, p2, shifts=(0,), reverse=False):
+def sgm_paths_dir_pallas(cost_bhdw, p1, p2, shifts=(0,), reverse=False,
+                         add=None):
     """Sum of the DP paths with the given carry shifts, scanning axis 1 of
-    [B, H, D, W] (downward, or upward with reverse=True). Returns the same
-    layout. Bit-identical to summing matching.sgm._path_scan per shift."""
+    [B, H, D, W] (downward, or upward with reverse=True), plus `add` when
+    given (fused into the row walk). Returns the same layout.
+    Bit-identical to summing matching.sgm._path_scan per shift (+ add)."""
     B, H, D, W = cost_bhdw.shape
     Wp = -(-W // 128) * 128
     if Wp != W:
         cost_bhdw = jnp.pad(cost_bhdw, ((0, 0), (0, 0), (0, 0), (0, Wp - W)),
                             constant_values=_BIG)
+        if add is not None:
+            add = jnp.pad(add, ((0, 0), (0, 0), (0, 0), (0, Wp - W)))
+    cost_bhdw = cost_bhdw.astype(jnp.int16)
+    if add is not None:
+        add = add.astype(jnp.int16)
+    fuse_add = add is not None
     kern = functools.partial(
         _sgm_dir_kernel, H=H, D=D, W=Wp, W_real=W, p1=p1, p2=p2,
         shifts=shifts, reverse=reverse)
+    scratch = [
+        pltpu.VMEM((2, D, Wp), jnp.int16),
+        pltpu.VMEM((2, D, Wp), jnp.int16),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if fuse_add:
+        scratch += [pltpu.VMEM((2, D, Wp), jnp.int16),
+                    pltpu.SemaphoreType.DMA((2,))]
+
+        def kern(cost_hbm, add_hbm, out_hbm, ibuf, obuf, isem, osem,
+                 abuf, asem):
+            _sgm_dir_kernel(cost_hbm, out_hbm, ibuf, obuf, isem, osem,
+                            H=H, D=D, W=Wp, W_real=W, p1=p1, p2=p2,
+                            shifts=shifts, reverse=reverse,
+                            abuf=abuf, asem=asem, add_hbm=add_hbm)
+        args = (cost_bhdw, add)
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2
+    else:
+        args = (cost_bhdw,)
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     out = pl.pallas_call(
         kern,
         grid=(B,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((B, H, D, Wp), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((2, D, Wp), jnp.int32),
-            pltpu.VMEM((2, D, Wp), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )(cost_bhdw)
+        out_shape=jax.ShapeDtypeStruct((B, H, D, Wp), jnp.int16),
+        scratch_shapes=scratch,
+    )(*args)
     return out[..., :W] if Wp != W else out
 
 
-def aggregate_paths_pallas_bhdw(cost_bdhw: jnp.ndarray, params
-                                ) -> jnp.ndarray:
+def aggregate_paths_pallas_bhdw(cost_bdhw: jnp.ndarray, params,
+                                hdw_layout: bool = False) -> jnp.ndarray:
     """8-path (or 4-path) SGM aggregation, Pallas wavefront engine,
     returning the aggregated volume in [B, H, D, W] layout (the layout the
     WTA kernel consumes — skips a 300 MB moveaxis at 1280x960).
 
-    Vertical+diagonal paths fuse into one down pass and one up pass;
-    horizontal paths run on a [B, W, D, H] transpose."""
+    Vertical+diagonal paths fuse into one down pass and one up pass (the
+    up pass adds the down volume in-walk); horizontal paths run on a
+    [B, W, D, H] transpose, the backward pass adding the forward volume.
+    hdw_layout: the input already is [B, H, D, W] (census_cost_volume_hdw)
+    — no moveaxis at all."""
     p1, p2 = params.p1, params.p2
-    c = jnp.moveaxis(cost_bdhw, 1, 2)            # [B, H, D, W]
+    c = cost_bdhw if hdw_layout else jnp.moveaxis(cost_bdhw, 1, 2)
     shifts = (0, 1, -1) if params.num_paths >= 8 else (0,)
     S = sgm_paths_dir_pallas(c, p1, p2, shifts, False)
-    S = S + sgm_paths_dir_pallas(c, p1, p2, shifts, True)
+    S = sgm_paths_dir_pallas(c, p1, p2, shifts, True, add=S)
     ct = jnp.transpose(c, (0, 3, 2, 1))          # [B, W, D, H]
     Sh = sgm_paths_dir_pallas(ct, p1, p2, (0,), False)
-    Sh = Sh + sgm_paths_dir_pallas(ct, p1, p2, (0,), True)
-    return S + jnp.transpose(Sh, (0, 3, 2, 1))   # [B, H, D, W]
+    Sh = sgm_paths_dir_pallas(ct, p1, p2, (0,), True, add=Sh)
+    tot = (S.astype(jnp.int32)
+           + jnp.transpose(Sh, (0, 3, 2, 1)).astype(jnp.int32))
+    return jnp.minimum(tot, _BIG).astype(jnp.int16)  # [B, H, D, W]
 
 
 def aggregate_paths_pallas(cost_bdhw: jnp.ndarray, params) -> jnp.ndarray:
@@ -159,7 +225,9 @@ def aggregate_paths_pallas(cost_bdhw: jnp.ndarray, params) -> jnp.ndarray:
 # WTA maps kernel: one pass over the aggregated volume
 # ---------------------------------------------------------------------------
 
-_INV = 1 << 20
+# right-view out-of-range sentinel — must equal matching.sgm._INVALID
+# (the jnp twin right_view_volume uses it), > any real volume value
+_INV = int(_INVALID)
 
 
 def _wta_maps_kernel(S_hbm, out_hbm, ibuf, obuf, isem, osem,
@@ -177,7 +245,7 @@ def _wta_maps_kernel(S_hbm, out_hbm, ibuf, obuf, isem, osem,
     b = pl.program_id(0)
     ds = jax.lax.broadcasted_iota(jnp.int32, (D, W), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (D, W), 1)
-    BIG = jnp.int32(_BIG)
+    BIG = jnp.int32(30000)      # WTA exclusion: > any volume value
 
     def dma_in(slot, i):
         return pltpu.make_async_copy(
@@ -187,7 +255,7 @@ def _wta_maps_kernel(S_hbm, out_hbm, ibuf, obuf, isem, osem,
         return pltpu.make_async_copy(
             obuf.at[slot], out_hbm.at[b, i], osem.at[slot])
 
-    def wta5(s, out, base):
+    def wta5(s):
         best = jnp.min(s, axis=0, keepdims=True)                  # [1, W]
         bd = jnp.min(jnp.where(s == best, ds, D), axis=0,
                      keepdims=True)                               # argmin
@@ -197,16 +265,16 @@ def _wta_maps_kernel(S_hbm, out_hbm, ibuf, obuf, isem, osem,
                      keepdims=True)
         cp = jnp.min(jnp.where(ds == bd + 1, s, BIG), axis=0,
                      keepdims=True)
-        out[base + 0] = best[0]
-        out[base + 1] = bd[0]
-        out[base + 2] = second[0]
-        out[base + 3] = cm[0]
-        out[base + 4] = cp[0]
+        return [best, bd, second, cm, cp]
+
+    pad6 = jnp.zeros((6, W), jnp.int32)
 
     def step(i, _):
         slot = i % 2
         dma_in(slot, i).wait()
-        s = ibuf[slot]
+        # int16 is storage-only (Mosaic int16 reductions/rotates are
+        # unimplemented): upcast the slab once and compute in int32
+        s = ibuf[slot].astype(jnp.int32)
 
         @pl.when(i + 1 < H)
         def _():
@@ -216,7 +284,7 @@ def _wta_maps_kernel(S_hbm, out_hbm, ibuf, obuf, isem, osem,
         def _():
             dma_out(slot, i - 2).wait()
 
-        wta5(s, obuf.at[slot], 0)
+        rows_l = wta5(s)
         # right-view slab: roll row d left by d (log-decomposed — the
         # shift is row-constant so masked uniform rolls compose exactly)
         sr = s
@@ -225,7 +293,12 @@ def _wta_maps_kernel(S_hbm, out_hbm, ibuf, obuf, isem, osem,
             sr = jnp.where((ds & k) != 0, pltpu.roll(sr, W - k, 1), sr)
             k <<= 1
         sr = jnp.where(col >= W_real - ds, jnp.int32(_INV), sr)
-        wta5(sr, obuf.at[slot], 5)
+        rows_r = wta5(sr)
+        # ONE [16, W] store per row: writing the 10 stats as individual
+        # sublane stores forces a read-modify-write of each 8-sublane
+        # tile per store; stats fit int16 (<= 30000) for the store
+        obuf[slot] = jnp.concatenate(
+            rows_l + rows_r + [pad6], axis=0).astype(jnp.int16)
         dma_out(slot, i).start()
         return 0
 
@@ -237,26 +310,27 @@ def _wta_maps_kernel(S_hbm, out_hbm, ibuf, obuf, isem, osem,
 
 @jax.jit
 def sgm_wta_maps_pallas(S_bhdw: jnp.ndarray) -> jnp.ndarray:
-    """[B, H, D, W] aggregated volume -> [B, H, 10, W] int32 WTA maps:
-    (best, best_d, second, cost_minus, cost_plus) for the left view then
-    the right view. One volume read total. (The row stack is padded to 16
-    in VMEM/HBM — Mosaic requires sublane extents aligned to the tile of
-    8 — and sliced back here.)"""
+    """[B, H, D, W] aggregated int16 volume -> [B, H, 10, W] int16 WTA
+    maps: (best, best_d, second, cost_minus, cost_plus) for the left view
+    then the right view. One volume read total. (The row stack is padded
+    to 16 in VMEM/HBM — Mosaic requires sublane extents aligned to the
+    tile — and sliced back here.)"""
     B, H, D, W = S_bhdw.shape
     Wp = -(-W // 128) * 128
     if Wp != W:
         S_bhdw = jnp.pad(S_bhdw, ((0, 0), (0, 0), (0, 0), (0, Wp - W)),
                          constant_values=_INV)
+    S_bhdw = S_bhdw.astype(jnp.int16)
     kern = functools.partial(_wta_maps_kernel, H=H, D=D, W=Wp, W_real=W)
     out = pl.pallas_call(
         kern,
         grid=(B,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((B, H, 16, Wp), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B, H, 16, Wp), jnp.int16),
         scratch_shapes=[
-            pltpu.VMEM((2, D, Wp), jnp.int32),
-            pltpu.VMEM((2, 16, Wp), jnp.int32),
+            pltpu.VMEM((2, D, Wp), jnp.int16),
+            pltpu.VMEM((2, 16, Wp), jnp.int16),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from jackal_tpu.config import SGMParams
 from jackal_tpu.matching.sgm import (
+    _INVALID,
     census5x5,
     census_cost_volume,
     right_view_volume,
@@ -39,7 +40,7 @@ def test_right_view_volume_exact_for_raw_cost():
     for d in [0, 1, 7, 31]:
         w = 160 - d
         np.testing.assert_array_equal(cr[d, :, :w], cost[d, :, d:])
-        assert (cr[d, :, w:] == (1 << 20)).all()
+        assert (cr[d, :, w:] == int(_INVALID)).all()
 
 
 def test_true_right_only_changes_validity():
