@@ -49,24 +49,42 @@ def cache_disparity_values(
     for that pixel. We reproduce that wraparound exactly.
     """
     H, W = crop_im_height, crop_im_width
-    ds = np.arange(scan.cache_disp_lo, scan.cache_disp_hi + 1, dtype=np.float64)
-    u = (np.arange(W, dtype=np.float64) + crop_offset_x)[None, :, None]
-    v = (np.arange(H, dtype=np.float64) + crop_offset_y)[:, None, None]
-    d = ds[None, None, :]
+    u = (np.arange(W, dtype=np.float64) + crop_offset_x)[None, :]
+    v = (np.arange(H, dtype=np.float64) + crop_offset_y)[:, None]
     Q = np.asarray(Q, np.float64)
-    w = Q[3, 0] * u + Q[3, 1] * v + Q[3, 2] * d + Q[3, 3]
-    Xc = (Q[0, 0] * u + Q[0, 1] * v + Q[0, 2] * d + Q[0, 3]) / w
-    Yc = (Q[1, 0] * u + Q[1, 1] * v + Q[1, 2] * d + Q[1, 3]) / w
-    Zc = (Q[2, 0] * u + Q[2, 1] * v + Q[2, 2] * d + Q[2, 3]) / w
     XR = np.asarray(XR, np.float64)
     XT = np.asarray(XT, np.float64).reshape(3)
-    Xr = XR[0, 0] * Xc + XR[0, 1] * Yc + XR[0, 2] * Zc + XT[0]
-    Zr = XR[2, 0] * Xc + XR[2, 1] * Yc + XR[2, 2] * Zc + XT[2]
+    # d-invariant prefix of each row's multiply-add chain, hoisted WITHOUT
+    # reassociating: the full chain stays ((Qi0*u + Qi1*v) + Qi2*d) + Qi3,
+    # the reference's left-to-right order, so every f64 rounding matches
+    w0 = Q[3, 0] * u + Q[3, 1] * v
+    X0 = Q[0, 0] * u + Q[0, 1] * v
+    Y0 = Q[1, 0] * u + Q[1, 1] * v
+    Z0 = Q[2, 0] * u + Q[2, 1] * v
 
-    ok = (Zr >= 0.0) & ~ground_plane_mask(Xr, Zr, gp)  # [H, W, D]
-    any_ok = ok.any(axis=-1)
-    first = ok.argmax(axis=-1) + scan.cache_disp_lo
+    # STREAM over d with a running first-match: one [H, W] slab per d
+    # instead of [H, W, 253] float64 intermediates (at 1280x960 the
+    # broadcast form materializes ~20 GB of temporaries — minutes of
+    # page-fault stalls on this 1-core host; the stream is seconds).
+    # Identical per-element arithmetic -> bit-equal dmin.
+    dmin_i = np.full((H, W), 256, np.int32)
+    found = np.zeros((H, W), bool)
+    for dv in range(scan.cache_disp_lo, scan.cache_disp_hi + 1):
+        d = np.float64(dv)
+        w = (w0 + Q[3, 2] * d) + Q[3, 3]
+        Xc = ((X0 + Q[0, 2] * d) + Q[0, 3]) / w
+        Yc = ((Y0 + Q[1, 2] * d) + Q[1, 3]) / w
+        Zc = ((Z0 + Q[2, 2] * d) + Q[2, 3]) / w
+        Xr = XR[0, 0] * Xc + XR[0, 1] * Yc + XR[0, 2] * Zc + XT[0]
+        Zr = XR[2, 0] * Xc + XR[2, 1] * Yc + XR[2, 2] * Zc + XT[2]
+        ok = (Zr >= 0.0) & ~ground_plane_mask(Xr, Zr, gp)
+        new = ok & ~found
+        if new.any():
+            dmin_i[new] = dv
+            found |= new
+        if found.all():
+            break
     # no valid d -> d ends at 256 -> uint8 wraparound to 0
-    dmin = np.where(any_ok, first, 256).astype(np.int32).astype(np.uint8)
+    dmin = dmin_i.astype(np.uint8)
     dmax = np.full((H, W), 255, dtype=np.uint8)
     return np.stack([dmin, dmax], axis=-1)
