@@ -36,10 +36,13 @@ import jax.numpy as jnp
 from ..config import SGMParams
 from ..ops.shifts import shifted_row_lookup
 
-# int16 value domain (both engines — the Pallas wavefront keeps the DP in
-# int16 vregs/DMA, doubling VPU width and halving the volume's HBM
-# traffic; the jnp scan engine uses the SAME sentinels and clamp points
-# so the two remain bit-identical). Real values are tiny: census cost
+# int16 value domain (both engines): the cost and aggregated volumes
+# store int16, halving their HBM traffic — the Pallas wavefront upcasts
+# each slab to int32 in-register for compute (Mosaic int16 vector
+# reductions/rotates are unimplemented) while the jnp scan engine
+# computes in int16 directly; values are wrap-free in both widths and
+# the clamp points coincide, so the engines remain bit-identical.
+# Real values are tiny: census cost
 # <= 24, per-path increments <= p2 (86), 8-path sums <= ~900. Sentinel
 # cells (d > u, borders) carry clamped garbage in BOTH engines; the
 # clamps bind only there.
