@@ -38,6 +38,14 @@ class StreamingRunner:
     dmap/scan split is logged per frame. Unsampled batches log nothing —
     the -d/-s time files contain only real measurements (the round-1
     behavior of logging scan=0.0 and an averaged dmap was fabricated data).
+
+    NOTE (ELAS throughput): this runner overlaps batches only through JAX
+    async dispatch, which still serializes ELAS's mid-pipeline host prior
+    behind each batch's candidate-grid download. A pure-throughput ELAS
+    consumer that does not need per-batch publishing interleaved should
+    use `matching.elas.pipeline.elas_match_stream`, whose double-buffered
+    scheduling dispatches batch k+1's device front before batch k's tail
+    (the bench.py ELAS config measures that path: ~1.5x this runner).
     """
 
     def __init__(self, pipeline: StereoPipeline, bus: Optional[TopicBus] = None,
