@@ -171,6 +171,29 @@ def test_sgm_wta_maps_pallas_full_match(interpret_pallas):
         np.testing.assert_array_equal(np.asarray(dr_p)[b], np.asarray(dr_j))
 
 
+@pytest.mark.parametrize("shape", [
+    (1, 16, 128, 24),    # W a lane multiple, non-pow2 D
+    (2, 23, 150, 16),    # odd H, padded W, B > 1
+    (1, 40, 96, 48),     # W < 128 (fully padded lane dim), D > W/2
+])
+def test_sgm_pallas_shape_fuzz(interpret_pallas, shape):
+    """Engine equality across awkward shapes: odd heights, sub-128 and
+    non-128-multiple widths, non-power-of-two disparity counts."""
+    from jackal_tpu.config import SGMParams
+    from jackal_tpu.matching.sgm import sgm_match, sgm_match_pallas
+
+    B, H, W, D = shape
+    rng = np.random.default_rng(H * W)
+    prm = SGMParams(disp_num=D)
+    l = (rng.random((B, H, W)) * 255).astype(np.uint8)
+    r = np.roll(l, 5, axis=2)
+    dl_p, dr_p = sgm_match_pallas(jnp.asarray(l), jnp.asarray(r), prm)
+    for b in range(B):
+        dl_j, dr_j = sgm_match(jnp.asarray(l[b]), jnp.asarray(r[b]), prm)
+        np.testing.assert_array_equal(np.asarray(dl_p)[b], np.asarray(dl_j))
+        np.testing.assert_array_equal(np.asarray(dr_p)[b], np.asarray(dr_j))
+
+
 def test_sgm_true_right_pallas_matches_jnp(interpret_pallas):
     """true_right mode: the Pallas path (own 8-path DP over cost_R + direct
     WTA maps of that volume) == the lax.scan engine bit for bit."""
