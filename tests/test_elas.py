@@ -163,6 +163,26 @@ def test_batch_matches_per_frame(use_native):
         np.testing.assert_array_equal(B2[b], D2)
 
 
+def test_batch_matches_per_frame_alt_params():
+    """Batch path == per-frame path under a non-default parameterization
+    (halved disparity range, finer candidate grid) — exercises the chunk
+    wire, slab raster and candidate grids at different static shapes."""
+    import dataclasses
+    from jackal_tpu.config import ElasParams
+    from jackal_tpu.matching.elas.pipeline import (elas_match,
+                                                   elas_match_batch)
+    prm = dataclasses.replace(ElasParams(), disp_max=127, grid_size=10)
+    g = np.load(f"{FIX}/elas_golden_s320_flat.npz")
+    l0, r0 = g["left"][:96, :160], g["right"][:96, :160]
+    lb = np.stack([l0, np.roll(l0, 4, axis=1)])
+    rb = np.stack([r0, np.roll(r0, 4, axis=1)])
+    B1, B2 = elas_match_batch(lb, rb, prm, chunk=1)
+    for b in range(2):
+        D1, D2 = elas_match(lb[b], rb[b], prm)
+        np.testing.assert_array_equal(B1[b], D1)
+        np.testing.assert_array_equal(B2[b], D2)
+
+
 def test_stream_matches_batch():
     """elas_match_stream (pipelined double-buffered scheduling) is
     bit-identical to the one-shot batch path, per batch, in order."""
