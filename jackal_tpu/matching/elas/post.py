@@ -37,7 +37,11 @@ def left_right_consistency_check(
     """elas.cpp:909-979. Invalid -> -10.
 
     The warped lookup D_other[(int)(u -/+ d)] runs as a shift-select sweep
-    (ops.shifts) instead of a per-pixel gather."""
+    (ops.shifts) instead of a per-pixel gather. (A data-dependent sweep
+    bound — while_loop to the scene's live disparity range — measured
+    SLOWER than the static unrolled 0..disp_max sweep: 0.50 vs 0.42
+    ms/frame at 640x480; the loop carry and the bound's max-reduce cost
+    more than the dead selects they remove.)"""
     H, W = D1.shape
     u = jnp.arange(W)[None, :].astype(jnp.float32)
     smax = params.disp_max
@@ -178,7 +182,8 @@ def gap_width_eff(params: ElasParams) -> int:
     return params.ipol_gap_width
 
 
-def _segment_sizes(lbl: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+def _segment_sizes(lbl: jnp.ndarray, valid: jnp.ndarray,
+                   clamp: int | None = None) -> jnp.ndarray:
     """Per-pixel component pixel count, by sort + run sums + unsort.
 
     The obvious `zeros.at[lbl].add(valid)[lbl]` scatter/gather costs
@@ -189,7 +194,14 @@ def _segment_sizes(lbl: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     cummin fill of the run-end prefix) — no generic associative_scan
     (those lower to slice/concat ladders on TPU and cost ~6 ms/frame).
     Invalid pixels ride a sentinel key (one shared tail run; their
-    garbage total is masked by the caller's `D >= 0` gate)."""
+    garbage total is masked by the caller's `D >= 0` gate).
+
+    With ``clamp`` (callers that only compare sizes against a threshold
+    <= clamp), returned sizes are min(size, clamp) and — when position
+    and clamped-size bits fit an int32 — the unsort runs as a SINGLE
+    1-operand sort of ``pos << bits | min(tot, clamp)`` instead of a
+    2-operand key/payload sort (the two [H*W] sorts are the dominant
+    postprocess cost: ~0.9 ms each per 640x480 frame)."""
     n = lbl.size
     flat = jnp.where(valid.reshape(-1), lbl.reshape(-1), n)
     pos = jnp.arange(n, dtype=jnp.int32)
@@ -204,6 +216,12 @@ def _segment_sizes(lbl: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     cs_end = jax.lax.cummin(
         jnp.where(end_seg, cs, n + 1), reverse=True)   # bwd fill (monotone)
     tot = cs_end - cs_before
+    if clamp is not None:
+        cb = int(clamp).bit_length()
+        if _label_bits(n) + cb <= 31:
+            packed = (sp << cb) | jnp.minimum(tot, clamp)
+            out = jax.lax.sort(packed) & ((1 << cb) - 1)
+            return out.reshape(lbl.shape)
     _, out = jax.lax.sort((sp, tot), num_keys=1)
     return out.reshape(lbl.shape)
 
@@ -214,8 +232,11 @@ def remove_small_segments(
 ) -> jnp.ndarray:
     """elas.cpp:981-1099: invalidate components smaller than speckle_size."""
     lbl = _connected_component_labels(D, params.speckle_sim_threshold)
-    seg_size = _segment_sizes(lbl, D >= 0)
-    kill = (D >= 0) & (seg_size < speckle_size_eff(params))
+    thr = speckle_size_eff(params)
+    # clamped sizes are exact for the `size < thr` decision: a size
+    # clamped AT thr still fails `< thr`, smaller sizes are unclamped
+    seg_size = _segment_sizes(lbl, D >= 0, clamp=max(thr, 1))
+    kill = (D >= 0) & (seg_size < thr)
     return jnp.where(kill, -10.0, D)
 
 
