@@ -6,10 +6,14 @@ This kernel keeps the whole DP state in VMEM and walks rows inside ONE
 fori_loop per direction, fusing up to three paths (vertical + the two
 diagonals share a row order) per pass:
 
-  - cost volume layout [B, H, D, W]: each row step works on a [D, W] slab —
-    D on sublanes (min over d is a sublane reduction, d+/-1 neighbours are
-    static sublane shifts), W on lanes (diagonal carry shifts are lane
-    rolls);
+  - cost volume layout [B, H, D, W]: each row step works on a [BB, D, W]
+    slab — ALL frames of a BB-sized batch group advance together,
+    amortizing the per-step loop/DMA-wait overhead over the group
+    (measured: aggregate 11.0 -> 10.2 ms/frame and WTA-maps ~2.1 -> 1.7
+    ms/frame at 1280x960/64/B=4 — the walks are VPU/VMEM-bound, so the
+    win is real but modest); D on sublanes (min over d is a sublane
+    reduction, d+/-1 neighbours are static sublane shifts), W on lanes
+    (diagonal carry shifts are lane rolls);
   - double-buffered row DMA in, double-buffered row DMA out;
   - `reverse=True` walks rows bottom-up in place of flipping the 300 MB
     volume in HBM;
@@ -35,17 +39,33 @@ from ...matching.sgm import _CARRY_BIG, _INVALID
 # in int32 registers and clamp back to _CARRY_BIG on store.
 _BIG = _CARRY_BIG
 
+# VMEM budget for picking the frames-per-step group size (the chip has
+# ~16 MB; leave headroom for Mosaic's own temporaries)
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _group_size(B, D, Wp, n_shift, fuse_add, extra_i16_rows=0):
+    """Frames per grid step: as many as fit the VMEM budget, max 4 (the
+    measured point of diminishing returns — step overhead is amortized
+    ~4x while DMA chunks stay small enough to pipeline)."""
+    per = (2 * D * Wp * 2             # ibuf (2 slots, int16)
+           + 2 * max(D, extra_i16_rows) * Wp * 2   # obuf
+           + (2 * D * Wp * 2 if fuse_add else 0)   # abuf
+           + n_shift * D * Wp * 4)    # carries (int32)
+    bb = max(1, min(4, B, _VMEM_BUDGET // max(per, 1)))
+    return bb
+
 
 def _sgm_dir_kernel(cost_hbm, out_hbm, ibuf, obuf, isem, osem,
-                    *, H, D, W, W_real, p1, p2, shifts, reverse,
+                    *, BB, H, D, W, W_real, p1, p2, shifts, reverse,
                     abuf=None, asem=None, add_hbm=None):
-    """One DP direction. When add_hbm is given, its rows are DMA'd
-    alongside the cost rows and added into the written total — fusing the
-    XLA `S_down + S_up` pass (945 MB of traffic per add at 1280x960/64)
-    into the walk."""
-    b = pl.program_id(0)
+    """One DP direction over a BB-frame group. When add_hbm is given, its
+    rows are DMA'd alongside the cost rows and added into the written
+    total — fusing the XLA `S_down + S_up` pass (945 MB of traffic per add
+    at 1280x960/64) into the walk."""
+    b0 = pl.program_id(0) * BB
     n_shift = len(shifts)
-    col = jax.lax.broadcasted_iota(jnp.int32, (D, W), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (BB, D, W), 2)
     padded = W_real < W
     fuse_add = add_hbm is not None
 
@@ -53,63 +73,74 @@ def _sgm_dir_kernel(cost_hbm, out_hbm, ibuf, obuf, isem, osem,
         return H - 1 - i if reverse else i
 
     def dma_in(slot, i):
-        return pltpu.make_async_copy(
-            cost_hbm.at[b, row(i)], ibuf.at[slot], isem.at[slot])
+        return [pltpu.make_async_copy(
+            cost_hbm.at[b0 + j, row(i)], ibuf.at[slot, j], isem.at[slot, j])
+            for j in range(BB)]
 
     def dma_add(slot, i):
-        return pltpu.make_async_copy(
-            add_hbm.at[b, row(i)], abuf.at[slot], asem.at[slot])
+        return [pltpu.make_async_copy(
+            add_hbm.at[b0 + j, row(i)], abuf.at[slot, j], asem.at[slot, j])
+            for j in range(BB)]
 
     def dma_out(slot, i):
-        return pltpu.make_async_copy(
-            obuf.at[slot], out_hbm.at[b, row(i)], osem.at[slot])
+        return [pltpu.make_async_copy(
+            obuf.at[slot, j], out_hbm.at[b0 + j, row(i)], osem.at[slot, j])
+            for j in range(BB)]
+
+    def start(copies):
+        for c in copies:
+            c.start()
+
+    def wait(copies):
+        for c in copies:
+            c.wait()
 
     # int16 is the STORAGE dtype only (Mosaic's int16 vector ops are
     # spotty: no reductions, no rotates); every slab upcasts to int32
     # right after its DMA and all arithmetic is native 32-bit. Values are
     # wrap-free in both widths (see matching.sgm constants), so this is
     # bit-equal to the int16-computing jnp engine.
-    dma_in(0, 0).start()
+    start(dma_in(0, 0))
     if fuse_add:
-        dma_add(0, 0).start()
-    dma_in(0, 0).wait()
+        start(dma_add(0, 0))
+    wait(dma_in(0, 0))
     init = jnp.minimum(ibuf[0].astype(jnp.int32), _BIG)
     if padded:
         init = jnp.where(col < W_real, init, _BIG)
     first = init * n_shift
     if fuse_add:
-        dma_add(0, 0).wait()
+        wait(dma_add(0, 0))
         first = first + abuf[0].astype(jnp.int32)
-        dma_add(1, 1).start()
+        start(dma_add(1, 1))
     obuf[0] = jnp.minimum(first, _BIG).astype(jnp.int16)
-    dma_out(0, 0).start()
-    dma_in(1, 1).start()
+    start(dma_out(0, 0))
+    start(dma_in(1, 1))
 
     def step(i, carries):
         slot = i % 2
-        dma_in(slot, i).wait()
+        wait(dma_in(slot, i))
         c = ibuf[slot].astype(jnp.int32)
 
         @pl.when(i + 1 < H)
         def _():
-            dma_in((i + 1) % 2, i + 1).start()
+            start(dma_in((i + 1) % 2, i + 1))
             if fuse_add:
-                dma_add((i + 1) % 2, i + 1).start()
+                start(dma_add((i + 1) % 2, i + 1))
 
-        total = jnp.zeros((D, W), jnp.int32)
+        total = jnp.zeros((BB, D, W), jnp.int32)
         new_carries = []
-        cap = jnp.full((1, W), _BIG, jnp.int32)
+        cap = jnp.full((BB, 1, W), _BIG, jnp.int32)
         for p, s in enumerate(shifts):
             prev = carries[p]
             if s:
-                prev = pltpu.roll(prev, s if s > 0 else W + s, 1)
+                prev = pltpu.roll(prev, s if s > 0 else W + s, 2)
                 edge = 0 if s == 1 else W_real - 1
                 prev = jnp.where(col == edge, _BIG, prev)
-            m = jnp.min(prev, axis=0, keepdims=True)            # [1, W]
+            m = jnp.min(prev, axis=1, keepdims=True)            # [BB, 1, W]
             # d-range boundary = plain BIG sentinel row (matching the
             # int16 jnp engine, where prev+BIG would wrap)
-            up = jnp.concatenate([cap, prev[0:D - 1]], axis=0)
-            dn = jnp.concatenate([prev[1:D], cap], axis=0)
+            up = jnp.concatenate([cap, prev[:, 0:D - 1]], axis=1)
+            dn = jnp.concatenate([prev[:, 1:D], cap], axis=1)
             best = jnp.minimum(jnp.minimum(prev, m + p2),
                                jnp.minimum(up + p1, dn + p1))
             out = jnp.minimum(c + (best - m), _BIG)
@@ -119,21 +150,21 @@ def _sgm_dir_kernel(cost_hbm, out_hbm, ibuf, obuf, isem, osem,
             total = total + out
 
         if fuse_add:
-            dma_add(slot, i).wait()
+            wait(dma_add(slot, i))
             total = total + abuf[slot].astype(jnp.int32)
 
         # output slot reuse: the DMA issued 2 rows ago must have retired
         @pl.when(i >= 2)
         def _():
-            dma_out(slot, i - 2).wait()
+            wait(dma_out(slot, i - 2))
         obuf[slot] = jnp.minimum(total, _BIG).astype(jnp.int16)
-        dma_out(slot, i).start()
+        start(dma_out(slot, i))
         return tuple(new_carries)
 
     carries = (init,) * n_shift
     carries = jax.lax.fori_loop(1, H, step, carries)
-    dma_out((H - 2) % 2, H - 2).wait()
-    dma_out((H - 1) % 2, H - 1).wait()
+    wait(dma_out((H - 2) % 2, H - 2))
+    wait(dma_out((H - 1) % 2, H - 1))
 
 
 @functools.partial(jax.jit,
@@ -151,43 +182,50 @@ def sgm_paths_dir_pallas(cost_bhdw, p1, p2, shifts=(0,), reverse=False,
                             constant_values=_BIG)
         if add is not None:
             add = jnp.pad(add, ((0, 0), (0, 0), (0, 0), (0, Wp - W)))
+    fuse_add = add is not None
+    BB = _group_size(B, D, Wp, len(shifts), fuse_add)
+    Bp = -(-B // BB) * BB
+    if Bp != B:
+        cost_bhdw = jnp.pad(cost_bhdw, ((0, Bp - B), (0, 0), (0, 0), (0, 0)),
+                            constant_values=_BIG)
+        if add is not None:
+            add = jnp.pad(add, ((0, Bp - B), (0, 0), (0, 0), (0, 0)))
     cost_bhdw = cost_bhdw.astype(jnp.int16)
     if add is not None:
         add = add.astype(jnp.int16)
-    fuse_add = add is not None
-    kern = functools.partial(
-        _sgm_dir_kernel, H=H, D=D, W=Wp, W_real=W, p1=p1, p2=p2,
-        shifts=shifts, reverse=reverse)
     scratch = [
-        pltpu.VMEM((2, D, Wp), jnp.int16),
-        pltpu.VMEM((2, D, Wp), jnp.int16),
-        pltpu.SemaphoreType.DMA((2,)),
-        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.VMEM((2, BB, D, Wp), jnp.int16),
+        pltpu.VMEM((2, BB, D, Wp), jnp.int16),
+        pltpu.SemaphoreType.DMA((2, BB)),
+        pltpu.SemaphoreType.DMA((2, BB)),
     ]
     if fuse_add:
-        scratch += [pltpu.VMEM((2, D, Wp), jnp.int16),
-                    pltpu.SemaphoreType.DMA((2,))]
+        scratch += [pltpu.VMEM((2, BB, D, Wp), jnp.int16),
+                    pltpu.SemaphoreType.DMA((2, BB))]
 
         def kern(cost_hbm, add_hbm, out_hbm, ibuf, obuf, isem, osem,
                  abuf, asem):
             _sgm_dir_kernel(cost_hbm, out_hbm, ibuf, obuf, isem, osem,
-                            H=H, D=D, W=Wp, W_real=W, p1=p1, p2=p2,
+                            BB=BB, H=H, D=D, W=Wp, W_real=W, p1=p1, p2=p2,
                             shifts=shifts, reverse=reverse,
                             abuf=abuf, asem=asem, add_hbm=add_hbm)
         args = (cost_bhdw, add)
         in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2
     else:
+        kern = functools.partial(
+            _sgm_dir_kernel, BB=BB, H=H, D=D, W=Wp, W_real=W, p1=p1, p2=p2,
+            shifts=shifts, reverse=reverse)
         args = (cost_bhdw,)
         in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     out = pl.pallas_call(
         kern,
-        grid=(B,),
+        grid=(Bp // BB,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((B, H, D, Wp), jnp.int16),
+        out_shape=jax.ShapeDtypeStruct((Bp, H, D, Wp), jnp.int16),
         scratch_shapes=scratch,
     )(*args)
-    return out[..., :W] if Wp != W else out
+    return out[:B, :, :, :W]
 
 
 def aggregate_paths_pallas_bhdw(cost_bdhw: jnp.ndarray, params,
@@ -231,58 +269,70 @@ _INV = int(_INVALID)
 
 
 def _wta_maps_kernel(S_hbm, out_hbm, ibuf, obuf, isem, osem,
-                     *, H, D, W, W_real):
-    """Per image row: the five per-pixel WTA statistics (best cost, best
-    disparity, second-best outside +/-1, and the two neighbour costs) for
-    BOTH the left view and the right view derived in-register.
+                     *, BB, H, D, W, W_real):
+    """Per image row (BB frames per step): the five per-pixel WTA
+    statistics (best cost, best disparity, second-best outside +/-1, and
+    the two neighbour costs) for BOTH the left view and the right view
+    derived in-register.
 
     Key identity: SR[d, v, u] = S[d, v, u+d] — the right-view column of a
-    pixel lies in the SAME image row, so one [D, W] row slab serves both
-    WTAs and the whole volume is read exactly once. The per-row-constant
-    left shift by d is applied with log2(D) masked lane rolls. All ops are
-    integer min/compare — the float uniqueness/sub-pixel/L-R epilogue
-    stays in jnp (matching.sgm), shared verbatim with the scan engine."""
-    b = pl.program_id(0)
-    ds = jax.lax.broadcasted_iota(jnp.int32, (D, W), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (D, W), 1)
+    pixel lies in the SAME image row, so one [BB, D, W] row slab serves
+    both WTAs and the whole volume is read exactly once. The per-row-
+    constant left shift by d is applied with log2(D) masked lane rolls.
+    All ops are integer min/compare — the float uniqueness/sub-pixel/L-R
+    epilogue stays in jnp (matching.sgm), shared verbatim with the scan
+    engine."""
+    b0 = pl.program_id(0) * BB
+    ds = jax.lax.broadcasted_iota(jnp.int32, (BB, D, W), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (BB, D, W), 2)
     BIG = jnp.int32(30000)      # WTA exclusion: > any volume value
 
     def dma_in(slot, i):
-        return pltpu.make_async_copy(
-            S_hbm.at[b, i], ibuf.at[slot], isem.at[slot])
+        return [pltpu.make_async_copy(
+            S_hbm.at[b0 + j, i], ibuf.at[slot, j], isem.at[slot, j])
+            for j in range(BB)]
 
     def dma_out(slot, i):
-        return pltpu.make_async_copy(
-            obuf.at[slot], out_hbm.at[b, i], osem.at[slot])
+        return [pltpu.make_async_copy(
+            obuf.at[slot, j], out_hbm.at[b0 + j, i], osem.at[slot, j])
+            for j in range(BB)]
+
+    def start(copies):
+        for c in copies:
+            c.start()
+
+    def wait(copies):
+        for c in copies:
+            c.wait()
 
     def wta5(s):
-        best = jnp.min(s, axis=0, keepdims=True)                  # [1, W]
-        bd = jnp.min(jnp.where(s == best, ds, D), axis=0,
+        best = jnp.min(s, axis=1, keepdims=True)                  # [BB,1,W]
+        bd = jnp.min(jnp.where(s == best, ds, D), axis=1,
                      keepdims=True)                               # argmin
         near = jnp.abs(ds - bd) <= 1
-        second = jnp.min(jnp.where(near, BIG, s), axis=0, keepdims=True)
-        cm = jnp.min(jnp.where(ds == bd - 1, s, BIG), axis=0,
+        second = jnp.min(jnp.where(near, BIG, s), axis=1, keepdims=True)
+        cm = jnp.min(jnp.where(ds == bd - 1, s, BIG), axis=1,
                      keepdims=True)
-        cp = jnp.min(jnp.where(ds == bd + 1, s, BIG), axis=0,
+        cp = jnp.min(jnp.where(ds == bd + 1, s, BIG), axis=1,
                      keepdims=True)
         return [best, bd, second, cm, cp]
 
-    pad6 = jnp.zeros((6, W), jnp.int32)
+    pad6 = jnp.zeros((BB, 6, W), jnp.int32)
 
     def step(i, _):
         slot = i % 2
-        dma_in(slot, i).wait()
+        wait(dma_in(slot, i))
         # int16 is storage-only (Mosaic int16 reductions/rotates are
         # unimplemented): upcast the slab once and compute in int32
         s = ibuf[slot].astype(jnp.int32)
 
         @pl.when(i + 1 < H)
         def _():
-            dma_in((i + 1) % 2, i + 1).start()
+            start(dma_in((i + 1) % 2, i + 1))
 
         @pl.when(i >= 2)
         def _():
-            dma_out(slot, i - 2).wait()
+            wait(dma_out(slot, i - 2))
 
         rows_l = wta5(s)
         # right-view slab: roll row d left by d (log-decomposed — the
@@ -290,22 +340,22 @@ def _wta_maps_kernel(S_hbm, out_hbm, ibuf, obuf, isem, osem,
         sr = s
         k = 1
         while k < D:
-            sr = jnp.where((ds & k) != 0, pltpu.roll(sr, W - k, 1), sr)
+            sr = jnp.where((ds & k) != 0, pltpu.roll(sr, W - k, 2), sr)
             k <<= 1
         sr = jnp.where(col >= W_real - ds, jnp.int32(_INV), sr)
         rows_r = wta5(sr)
-        # ONE [16, W] store per row: writing the 10 stats as individual
-        # sublane stores forces a read-modify-write of each 8-sublane
-        # tile per store; stats fit int16 (<= 30000) for the store
+        # ONE [BB, 16, W] store per row: writing the 10 stats as
+        # individual sublane stores forces a read-modify-write of each
+        # 8-sublane tile per store; stats fit int16 (<= 30000)
         obuf[slot] = jnp.concatenate(
-            rows_l + rows_r + [pad6], axis=0).astype(jnp.int16)
-        dma_out(slot, i).start()
+            rows_l + rows_r + [pad6], axis=1).astype(jnp.int16)
+        start(dma_out(slot, i))
         return 0
 
-    dma_in(0, 0).start()
+    start(dma_in(0, 0))
     jax.lax.fori_loop(0, H, step, 0)
-    dma_out((H - 2) % 2, H - 2).wait()
-    dma_out((H - 1) % 2, H - 1).wait()
+    wait(dma_out((H - 2) % 2, H - 2))
+    wait(dma_out((H - 1) % 2, H - 1))
 
 
 @jax.jit
@@ -320,20 +370,26 @@ def sgm_wta_maps_pallas(S_bhdw: jnp.ndarray) -> jnp.ndarray:
     if Wp != W:
         S_bhdw = jnp.pad(S_bhdw, ((0, 0), (0, 0), (0, 0), (0, Wp - W)),
                          constant_values=_INV)
+    BB = _group_size(B, D, Wp, 0, False, extra_i16_rows=16)
+    Bp = -(-B // BB) * BB
+    if Bp != B:
+        S_bhdw = jnp.pad(S_bhdw, ((0, Bp - B), (0, 0), (0, 0), (0, 0)),
+                         constant_values=_INV)
     S_bhdw = S_bhdw.astype(jnp.int16)
-    kern = functools.partial(_wta_maps_kernel, H=H, D=D, W=Wp, W_real=W)
+    kern = functools.partial(_wta_maps_kernel, BB=BB, H=H, D=D, W=Wp,
+                             W_real=W)
     out = pl.pallas_call(
         kern,
-        grid=(B,),
+        grid=(Bp // BB,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((B, H, 16, Wp), jnp.int16),
+        out_shape=jax.ShapeDtypeStruct((Bp, H, 16, Wp), jnp.int16),
         scratch_shapes=[
-            pltpu.VMEM((2, D, Wp), jnp.int16),
-            pltpu.VMEM((2, 16, Wp), jnp.int16),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, BB, D, Wp), jnp.int16),
+            pltpu.VMEM((2, BB, 16, Wp), jnp.int16),
+            pltpu.SemaphoreType.DMA((2, BB)),
+            pltpu.SemaphoreType.DMA((2, BB)),
         ],
     )(S_bhdw)
-    out = out[:, :, :10]
+    out = out[:B, :, :10]
     return out[..., :W] if Wp != W else out
