@@ -284,11 +284,11 @@ def sgm_match_pallas(
     volume exactly once (left AND right WTA from the same row slab)
     instead of ~12 elementwise passes."""
     from ..ops.pallas.sgm_kernel import (
-        aggregate_paths_pallas_bhdw, sgm_wta_maps_pallas)
+        aggregate_paths_pallas_bhdw, census5x5_pallas, sgm_wta_maps_pallas)
 
     D = params.disp_num
-    cl = jax.vmap(census5x5)(left_b)
-    cr = jax.vmap(census5x5)(right_b)
+    cl = census5x5_pallas(left_b)
+    cr = census5x5_pallas(right_b)
     cost = jax.vmap(lambda a, b: census_cost_volume_hdw(a, b, D))(cl, cr)
     S = aggregate_paths_pallas_bhdw(cost, params,
                                     hdw_layout=True)  # [B, H, D, W]

@@ -59,10 +59,14 @@ def _group_size(B, D, Wp, n_shift, fuse_add, extra_i16_rows=0):
 def _sgm_dir_kernel(cost_hbm, out_hbm, ibuf, obuf, isem, osem,
                     *, BB, H, D, W, W_real, p1, p2, shifts, reverse,
                     abuf=None, asem=None, add_hbm=None):
-    """One DP direction over a BB-frame group. When add_hbm is given, its
-    rows are DMA'd alongside the cost rows and added into the written
-    total — fusing the XLA `S_down + S_up` pass (945 MB of traffic per add
-    at 1280x960/64) into the walk."""
+    """One DP direction over a BB-frame group. Volumes arrive TIME-MAJOR
+    ([T, B, D, W]): the walked axis leads, so a step's whole [BB, D, W]
+    group row is ONE contiguous DMA — with batch-major volumes each
+    stream needed BB separate copies per step, and the semaphore
+    start/waits (~0.4 us each) ate most of what group-batching saved.
+    When add_hbm is given, its rows are DMA'd alongside the cost rows and
+    added into the written total — fusing the XLA `S_down + S_up` pass
+    (945 MB of traffic per add at 1280x960/64) into the walk."""
     b0 = pl.program_id(0) * BB
     n_shift = len(shifts)
     col = jax.lax.broadcasted_iota(jnp.int32, (BB, D, W), 2)
@@ -73,27 +77,25 @@ def _sgm_dir_kernel(cost_hbm, out_hbm, ibuf, obuf, isem, osem,
         return H - 1 - i if reverse else i
 
     def dma_in(slot, i):
-        return [pltpu.make_async_copy(
-            cost_hbm.at[b0 + j, row(i)], ibuf.at[slot, j], isem.at[slot, j])
-            for j in range(BB)]
+        return pltpu.make_async_copy(
+            cost_hbm.at[row(i), pl.ds(b0, BB)], ibuf.at[slot],
+            isem.at[slot])
 
     def dma_add(slot, i):
-        return [pltpu.make_async_copy(
-            add_hbm.at[b0 + j, row(i)], abuf.at[slot, j], asem.at[slot, j])
-            for j in range(BB)]
+        return pltpu.make_async_copy(
+            add_hbm.at[row(i), pl.ds(b0, BB)], abuf.at[slot],
+            asem.at[slot])
 
     def dma_out(slot, i):
-        return [pltpu.make_async_copy(
-            obuf.at[slot, j], out_hbm.at[b0 + j, row(i)], osem.at[slot, j])
-            for j in range(BB)]
+        return pltpu.make_async_copy(
+            obuf.at[slot], out_hbm.at[row(i), pl.ds(b0, BB)],
+            osem.at[slot])
 
-    def start(copies):
-        for c in copies:
-            c.start()
+    def start(c):
+        c.start()
 
-    def wait(copies):
-        for c in copies:
-            c.wait()
+    def wait(c):
+        c.wait()
 
     # int16 is the STORAGE dtype only (Mosaic's int16 vector ops are
     # spotty: no reductions, no rotates); every slab upcasts to int32
@@ -171,11 +173,11 @@ def _sgm_dir_kernel(cost_hbm, out_hbm, ibuf, obuf, isem, osem,
                    static_argnames=("p1", "p2", "shifts", "reverse"))
 def sgm_paths_dir_pallas(cost_bhdw, p1, p2, shifts=(0,), reverse=False,
                          add=None):
-    """Sum of the DP paths with the given carry shifts, scanning axis 1 of
-    [B, H, D, W] (downward, or upward with reverse=True), plus `add` when
-    given (fused into the row walk). Returns the same layout.
+    """Sum of the DP paths with the given carry shifts, scanning axis 0 of
+    TIME-MAJOR [H, B, D, W] (downward, or upward with reverse=True), plus
+    `add` when given (fused into the row walk). Returns the same layout.
     Bit-identical to summing matching.sgm._path_scan per shift (+ add)."""
-    B, H, D, W = cost_bhdw.shape
+    H, B, D, W = cost_bhdw.shape
     Wp = -(-W // 128) * 128
     if Wp != W:
         cost_bhdw = jnp.pad(cost_bhdw, ((0, 0), (0, 0), (0, 0), (0, Wp - W)),
@@ -186,22 +188,22 @@ def sgm_paths_dir_pallas(cost_bhdw, p1, p2, shifts=(0,), reverse=False,
     BB = _group_size(B, D, Wp, len(shifts), fuse_add)
     Bp = -(-B // BB) * BB
     if Bp != B:
-        cost_bhdw = jnp.pad(cost_bhdw, ((0, Bp - B), (0, 0), (0, 0), (0, 0)),
+        cost_bhdw = jnp.pad(cost_bhdw, ((0, 0), (0, Bp - B), (0, 0), (0, 0)),
                             constant_values=_BIG)
         if add is not None:
-            add = jnp.pad(add, ((0, Bp - B), (0, 0), (0, 0), (0, 0)))
+            add = jnp.pad(add, ((0, 0), (0, Bp - B), (0, 0), (0, 0)))
     cost_bhdw = cost_bhdw.astype(jnp.int16)
     if add is not None:
         add = add.astype(jnp.int16)
     scratch = [
         pltpu.VMEM((2, BB, D, Wp), jnp.int16),
         pltpu.VMEM((2, BB, D, Wp), jnp.int16),
-        pltpu.SemaphoreType.DMA((2, BB)),
-        pltpu.SemaphoreType.DMA((2, BB)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
     ]
     if fuse_add:
         scratch += [pltpu.VMEM((2, BB, D, Wp), jnp.int16),
-                    pltpu.SemaphoreType.DMA((2, BB))]
+                    pltpu.SemaphoreType.DMA((2,))]
 
         def kern(cost_hbm, add_hbm, out_hbm, ibuf, obuf, isem, osem,
                  abuf, asem):
@@ -222,10 +224,10 @@ def sgm_paths_dir_pallas(cost_bhdw, p1, p2, shifts=(0,), reverse=False,
         grid=(Bp // BB,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((Bp, H, D, Wp), jnp.int16),
+        out_shape=jax.ShapeDtypeStruct((H, Bp, D, Wp), jnp.int16),
         scratch_shapes=scratch,
     )(*args)
-    return out[:B, :, :, :W]
+    return out[:, :B, :, :W]
 
 
 def aggregate_paths_pallas_bhdw(cost_bdhw: jnp.ndarray, params,
@@ -242,13 +244,17 @@ def aggregate_paths_pallas_bhdw(cost_bdhw: jnp.ndarray, params,
     p1, p2 = params.p1, params.p2
     c = cost_bdhw if hdw_layout else jnp.moveaxis(cost_bdhw, 1, 2)
     shifts = (0, 1, -1) if params.num_paths >= 8 else (0,)
-    S = sgm_paths_dir_pallas(c, p1, p2, shifts, False)
-    S = sgm_paths_dir_pallas(c, p1, p2, shifts, True, add=S)
-    ct = jnp.transpose(c, (0, 3, 2, 1))          # [B, W, D, H]
+    # time-major copies: [H, B, D, W] / [W, B, D, H] — a coarse block
+    # permutation (whole [D, W] slabs move) costing ~0.1 ms/frame each,
+    # repaid by every walk step needing ONE DMA per stream
+    cv = jnp.transpose(c, (1, 0, 2, 3))          # [H, B, D, W]
+    S = sgm_paths_dir_pallas(cv, p1, p2, shifts, False)
+    S = sgm_paths_dir_pallas(cv, p1, p2, shifts, True, add=S)
+    ct = jnp.transpose(c, (3, 0, 2, 1))          # [W, B, D, H]
     Sh = sgm_paths_dir_pallas(ct, p1, p2, (0,), False)
     Sh = sgm_paths_dir_pallas(ct, p1, p2, (0,), True, add=Sh)
-    tot = (S.astype(jnp.int32)
-           + jnp.transpose(Sh, (0, 3, 2, 1)).astype(jnp.int32))
+    tot = (jnp.transpose(S, (1, 0, 2, 3)).astype(jnp.int32)
+           + jnp.transpose(Sh, (1, 3, 2, 0)).astype(jnp.int32))
     return jnp.minimum(tot, _BIG).astype(jnp.int16)  # [B, H, D, W]
 
 
@@ -257,6 +263,92 @@ def aggregate_paths_pallas(cost_bdhw: jnp.ndarray, params) -> jnp.ndarray:
     layout, equal to vmap(matching.sgm.aggregate_paths)."""
     return jnp.moveaxis(aggregate_paths_pallas_bhdw(cost_bdhw, params),
                         2, 1)
+
+
+# ---------------------------------------------------------------------------
+# census kernel: 24-bit census codes in row bands
+# ---------------------------------------------------------------------------
+
+_CENSUS_RB = 128   # rows per grid step
+
+
+def _census_kernel(img_hbm, out_hbm, ibuf, obuf, isem, osem,
+                   *, RB, Hp, Wp2):
+    """24-neighbor census codes for one row band.
+
+    The wrapper pre-pads the image with edge-mode rows (+2 top/bottom)
+    and edge-mode columns on the RIGHT only (+2), then zero-pads lanes to
+    Wp2. Horizontal du > 0 neighbours therefore read correct replicated
+    values straight from the pad; du < 0 neighbours come from a lane roll
+    whose wrapped columns are fixed with the (lane-0, aligned) left-edge
+    value. Bit-identical to matching.sgm.census5x5."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    # 8-row halo (4 top + 4 bottom, of which 2 each are used): DMA slice
+    # sublane extents must be multiples of the (8, 128) i32 tile
+    cin = pltpu.make_async_copy(
+        img_hbm.at[b, pl.ds(i * RB, RB + 8)], ibuf, isem)
+    cin.start()
+    cin.wait()
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (RB, Wp2), 1)
+    center = ibuf[4:4 + RB]
+    code = jnp.zeros((RB, Wp2), jnp.int32)
+    bit = 0
+    for dv in range(-2, 3):
+        rows = ibuf[4 + dv:4 + dv + RB]
+        x0 = rows[:, 0:1]   # this row's left-edge value (aligned slice)
+        for du in range(-2, 3):
+            if dv == 0 and du == 0:
+                continue
+            if du == 0:
+                nb = rows
+            elif du > 0:
+                nb = pltpu.roll(rows, Wp2 - du, 1)
+            else:
+                nb = pltpu.roll(rows, -du, 1)
+                nb = jnp.where(col < -du, x0, nb)
+            code = code | jnp.where(nb < center, jnp.int32(1 << bit), 0)
+            bit += 1
+    obuf[...] = code
+    cout = pltpu.make_async_copy(obuf, out_hbm.at[b, pl.ds(i * RB, RB)],
+                                 osem)
+    cout.start()
+    cout.wait()
+
+
+@jax.jit
+def census5x5_pallas(img_u8_b: jnp.ndarray) -> jnp.ndarray:
+    """Batched census transform [B, H, W] u8 -> int32 codes, bit-equal to
+    vmap(matching.sgm.census5x5). One row-band Pallas pass (the 24-step
+    XLA formulation materializes HBM temporaries per bit: measured ~1.5
+    ms/frame-image at 1280x960 vs ~0.2 for this kernel)."""
+    B, H, W = img_u8_b.shape
+    RB = _CENSUS_RB
+    Hp = -(-H // RB) * RB
+    Wp2 = -(-(W + 2) // 128) * 128
+    x = img_u8_b.astype(jnp.int32)
+    # +4 edge rows (2 used by the 5x5 window, 2 for DMA-tile alignment)
+    # and +2 edge cols; bottom rows additionally padded (edge mode) out
+    # to the band grid — garbage bands sliced off
+    x = jnp.pad(x, ((0, 0), (4, Hp - H + 4), (0, 2)), mode="edge")
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, Wp2 - (W + 2))))
+    kern = functools.partial(_census_kernel, RB=RB, Hp=Hp, Wp2=Wp2)
+    out = pl.pallas_call(
+        kern,
+        grid=(B, Hp // RB),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp2), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((RB + 8, Wp2), jnp.int32),
+            pltpu.VMEM((RB, Wp2), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(x)
+    return out[:, :H, :W]
 
 
 # ---------------------------------------------------------------------------

@@ -63,6 +63,22 @@ def test_bm_pallas_odd_disp_num(interpret_pallas):
                                atol=1e-5)
 
 
+def test_census_pallas_matches_jnp(interpret_pallas):
+    """Row-band census kernel == census5x5, incl. edge-replicate borders
+    and non-128-multiple widths."""
+    import jax
+    import jax.numpy as jnp
+    from jackal_tpu.matching.sgm import census5x5
+    from jackal_tpu.ops.pallas.sgm_kernel import census5x5_pallas
+
+    rng = np.random.default_rng(7)
+    for B, H, W in ((2, 37, 61), (1, 128, 128), (3, 130, 257), (1, 5, 640)):
+        img = rng.integers(0, 256, (B, H, W)).astype(np.uint8)
+        ref = jax.vmap(census5x5)(jnp.asarray(img))
+        got = census5x5_pallas(jnp.asarray(img))
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
 def test_sgm_paths_pallas_matches_jnp(interpret_pallas):
     """Wavefront DP kernel == the lax.scan path aggregation, all 8 paths."""
     from jackal_tpu.config import SGMParams
