@@ -316,56 +316,68 @@ def _raster_add_impl(corners_u, corners_v, plane_bits, pvalid, paint_idx,
 # ---------------------------------------------------------------------------
 
 _RASTER_SLAB = 16
+_RASTER_CTILE = 128   # lane width; triangle column spans are ~14 px mean
 
 
-def slab_select(support: np.ndarray, tri: np.ndarray, H: int,
-                slab: int) -> np.ndarray:
-    """Host: bin triangles into `slab`-row bands; [S, Ts] int32 indices
-    (into the tri/paint wire order), -1 padded.
+def slab_select(support: np.ndarray, tri: np.ndarray, W: int, H: int,
+                slab: int, ctile: int, right: bool = False) -> np.ndarray:
+    """Host: bin triangles into (`slab`-row x `ctile`-column) tiles;
+    [S*C, Ts] int32 indices (into the tri/paint wire order), -1 padded,
+    band-major (band = s*C + c).
 
     A triangle's painted rows lie in [vmin, vmax-1] (its scanlines are
     convex combinations of integer corner rows); the bin range is widened
     by one row below vmin to absorb f32 slope rounding (|err| << 1).
-    Duplicating a triangle into every band it can touch makes each band's
-    raster independent — the device then computes ALL bands in one
-    parallel reduce with NO dynamic slicing (the old chunk loop's
-    fori/cond overhead was ~5x its ALU cost)."""
+    Columns are exact: the raster covers u in [minU, maxU) of the integer
+    corner u's (right image: u - d). Duplicating a triangle into every
+    tile it can touch makes each tile's raster independent — the device
+    computes ALL tiles in one parallel reduce with NO dynamic slicing.
+    Column tiling matters because spans are tiny (mean ~14 px at
+    640x480): rasterizing full W per triangle did ~3x the work."""
     S = -(-H // slab)
+    C = -(-W // ctile)
     if len(tri) == 0:
-        return np.full((S, 1), -1, np.int32)
+        return np.full((S * C, 1), -1, np.int32)
     v = support[tri, 1].astype(np.int32)
-    vmin = v.min(axis=1)
-    vmax = v.max(axis=1)
-    s0 = np.clip((vmin - 1) // slab, 0, S - 1)
-    s1 = np.clip(vmax // slab, 0, S - 1)
-    nsl = s1 - s0 + 1
-    total = int(nsl.sum())
-    tid = np.repeat(np.arange(len(tri), dtype=np.int32), nsl)
-    off = np.repeat(np.cumsum(nsl) - nsl, nsl)
-    sl = s0[tid] + (np.arange(total, dtype=np.int32) - off)
-    order = np.argsort(sl, kind="stable")
-    sls = sl[order]
+    u = support[tri, 0].astype(np.int32)
+    if right:
+        u = u - support[tri, 2].astype(np.int32)
+    s0 = np.clip((v.min(axis=1) - 1) // slab, 0, S - 1)
+    s1 = np.clip(v.max(axis=1) // slab, 0, S - 1)
+    c0 = np.clip(u.min(axis=1) // ctile, 0, C - 1)
+    c1 = np.clip((np.maximum(u.max(axis=1), 1) - 1) // ctile, 0, C - 1)
+    nr = s1 - s0 + 1
+    nc = c1 - c0 + 1
+    n = nr * nc
+    total = int(n.sum())
+    tid = np.repeat(np.arange(len(tri), dtype=np.int32), n)
+    off = np.repeat(np.cumsum(n) - n, n)
+    k = np.arange(total, dtype=np.int32) - off          # 0..n[t]-1
+    ncr = nc[tid]
+    band = ((s0[tid] + k // ncr) * C) + (c0[tid] + k % ncr)
+    order = np.argsort(band, kind="stable")
+    bands = band[order]
     tids = tid[order]
-    counts = np.bincount(sls, minlength=S)
+    counts = np.bincount(bands, minlength=S * C)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    rank = np.arange(total, dtype=np.int64) - starts[sls]
-    sel = np.full((S, max(int(counts.max()), 1)), -1, np.int32)
-    sel[sls, rank] = tids
+    rank = np.arange(total, dtype=np.int64) - starts[bands]
+    sel = np.full((S * C, max(int(counts.max()), 1)), -1, np.int32)
+    sel[bands, rank] = tids
     return sel
 
 
 _PAINT_SHIFT = 11   # low bits: trunc(f)+512 (10) + pvalid (1)
 
 
-def _slab_products_impl(sel_flat, row0, corners_u, slope_bits, plane_bits,
-                        *, W, slab):
+def _slab_products_impl(sel_flat, row0, col0, corners_u, slope_bits,
+                        plane_bits, *, CT, slab):
     """ALL the f32 multiplies of the slab raster, gathered into slab
     layout, alone in their own executable on CPU (see _raster_mul_impl
     for the FMA-contraction rationale; on TPU this fuses with
     _slab_raster_impl bit-safely). sel_flat [R] indexes the flat
-    [CH*Tp]-row coefficient arrays; row0 [R] is each entry's band base
-    row. ONE flat gather per array — a vmapped/batched gather falls off
-    the TPU fast path."""
+    [CH*Tp]-row coefficient arrays; row0/col0 [R] are each entry's tile
+    base row/column. ONE flat gather per array — a vmapped/batched
+    gather falls off the TPU fast path."""
     import jax
     import jax.numpy as jnp
 
@@ -375,33 +387,36 @@ def _slab_products_impl(sel_flat, row0, corners_u, slope_bits, plane_bits,
         take(slope_bits).astype(jnp.int32), jnp.float32)
     planes = jax.lax.bitcast_convert_type(
         take(plane_bits).astype(jnp.int32), jnp.float32)
-    u_f = jnp.arange(W, dtype=jnp.float32)[None, :]
+    u_f = (col0[:, None]
+           + jnp.arange(CT, dtype=jnp.int32)[None, :]) \
+        .astype(jnp.float32)                                # [R, CT]
     rows_f = (row0[:, None]
               + jnp.arange(slab, dtype=jnp.int32)[None, :]) \
         .astype(jnp.float32)                                # [R, slab]
     A_u_f = cu[:, 0:1].astype(jnp.float32)
     B_u_f = cu[:, 1:2].astype(jnp.float32)
-    m_ac = slopes[:, 0:1] * u_f                             # [R, W]
+    m_ac = slopes[:, 0:1] * u_f                             # [R, CT]
     m_ab = slopes[:, 1:2] * u_f
     m_bc = slopes[:, 2:3] * u_f
     s_ac = slopes[:, 0:1] * A_u_f                           # [R, 1]
     s_ab = slopes[:, 1:2] * A_u_f
     s_bc = slopes[:, 2:3] * B_u_f
-    au = planes[:, 0:1] * u_f                               # [R, W]
+    au = planes[:, 0:1] * u_f                               # [R, CT]
     bv = planes[:, 1:2] * rows_f                            # [R, slab]
     return m_ac, m_ab, m_bc, s_ac, s_ab, s_bc, au, bv
 
 
-def _slab_raster_impl(sel_flat, row0, corners_u, corners_v, plane_bits,
-                      pvalid, paint_idx,
+def _slab_raster_impl(sel_flat, row0, col0, corners_u, corners_v,
+                      plane_bits, pvalid, paint_idx,
                       m_ac, m_ab, m_bc, s_ac, s_ab, s_bc, au, bv,
-                      *, CH, S, Ts, W, H, slab):
+                      *, CH, S, C, Ts, W, H, slab, CT):
     """Adds/compares only (products arrive from _slab_products_impl).
 
     Same line/trunc/uint-wrap semantics as _raster_add_impl; the winner
-    bookkeeping is a single int32 max over the band's triangles with the
+    bookkeeping is a single int32 max over the tile's triangles with the
     key (paint << 11) | (trunc(f)+512) << 1 | pvalid — winner-takes-last
-    == max paint, and the payload rides along. Returns
+    == max paint, and the payload rides along. Tiles are (slab x CT)
+    pixel blocks, band-major (band = s*C + c, see slab_select). Returns
     (d_plane int16, valid, covered) [CH, H, W]."""
     import jax
     import jax.numpy as jnp
@@ -414,19 +429,19 @@ def _slab_raster_impl(sel_flat, row0, corners_u, corners_v, plane_bits,
     pv = take(pvalid).astype(jnp.int32)                     # [R]
     paint = take(paint_idx).astype(jnp.int32)               # [R]
 
-    u_i = jnp.arange(W, dtype=jnp.int32)[None, :]
+    u_i = col0[:, None] + jnp.arange(CT, dtype=jnp.int32)[None, :]
     A = cu[:, 0:1].astype(jnp.int32)
     B = cu[:, 1:2].astype(jnp.int32)
-    C = cu[:, 2:3].astype(jnp.int32)
+    Cc = cu[:, 2:3].astype(jnp.int32)
     A_v_f = cv[:, 0:1].astype(jnp.float32)
     B_v_f = cv[:, 1:2].astype(jnp.float32)
     seg1 = (u_i >= A) & (u_i < B)
-    cover = (u_i >= A) & (u_i < C)                          # A<=B<=C
+    cover = (u_i >= A) & (u_i < Cc)                         # A<=B<=C
 
     def line_trunc(m, b):
         return (m + b).astype(jnp.int32).astype(jnp.uint32)
 
-    v1 = line_trunc(m_ac, A_v_f - s_ac)                     # [R, W]
+    v1 = line_trunc(m_ac, A_v_f - s_ac)                     # [R, CT]
     v2 = jnp.where(seg1,
                    line_trunc(m_ab, A_v_f - s_ab),
                    line_trunc(m_bc, B_v_f - s_bc))
@@ -437,15 +452,16 @@ def _slab_raster_impl(sel_flat, row0, corners_u, corners_v, plane_bits,
     hi = jnp.where(cover, hi, 0)
 
     f = (au[:, None, :] + bv[:, :, None]) + planes[:, 2:3, None]
-    dt = jnp.clip(f.astype(jnp.int32), -512, 511)           # [R, slab, W]
+    dt = jnp.clip(f.astype(jnp.int32), -512, 511)           # [R, slab, CT]
     key = ((paint[:, None, None] << _PAINT_SHIFT)
            | ((dt + 512) << 1) | pv[:, None, None])
     r = (row0[:, None] + jnp.arange(slab, dtype=jnp.int32))[:, :, None]
     covered = (r >= lo[:, None, :]) & (r < hi[:, None, :])
     key = jnp.where(covered & (paint[:, None, None] >= 0), key, -1)
 
-    win = key.reshape(CH * S, Ts, slab, W).max(axis=1)      # [CH*S,slab,W]
-    win = win.reshape(CH, S * slab, W)[:, :H]
+    win = key.reshape(CH * S * C, Ts, slab, CT).max(axis=1)
+    win = win.reshape(CH, S, C, slab, CT).transpose(0, 1, 3, 2, 4) \
+        .reshape(CH, S * slab, C * CT)[:, :H, :W]
     covered_px = win >= 0
     dp = (((win >> 1) & 1023) - 512).astype(jnp.int16)
     dp = jnp.where(covered_px, dp, 0)

@@ -249,7 +249,8 @@ def _prior_tri_job(dcan_b, params, W, H, use_native):
     (support, vertex indices, slab selection): ~65 KB/frame instead of
     ~320 KB — the upload was the ELAS throughput bound on tunnel-attached
     TPUs (~10 ms/MB)."""
-    from .device_prior import _RASTER_SLAB, slab_select, tri_wire
+    from .device_prior import (_RASTER_CTILE, _RASTER_SLAB, slab_select,
+                               tri_wire)
 
     if use_native:
         support = collect_support_points_native(dcan_b, params, W, H)
@@ -260,7 +261,7 @@ def _prior_tri_job(dcan_b, params, W, H, use_native):
         # uncovered everywhere -> the dense matcher emits all -10
         e3 = np.zeros((0, 3), np.int16)
         e1 = np.zeros((0,), np.int16)
-        S = -(-H // _RASTER_SLAB)
+        S = -(-H // _RASTER_SLAB) * -(-W // _RASTER_CTILE)
         es = np.full((S, 1), -1, np.int32)
         return (np.zeros((0, 3), np.int16), e3, e1, e3.copy(), e1.copy(),
                 es, es.copy())
@@ -270,8 +271,9 @@ def _prior_tri_job(dcan_b, params, W, H, use_native):
     ).astype(np.float32)
     t1, p1 = tri_wire(support, delaunay(left_pts))
     t2, p2 = tri_wire(support, delaunay(right_pts))
-    sel1 = slab_select(support, t1, H, _RASTER_SLAB)
-    sel2 = slab_select(support, t2, H, _RASTER_SLAB)
+    sel1 = slab_select(support, t1, W, H, _RASTER_SLAB, _RASTER_CTILE)
+    sel2 = slab_select(support, t2, W, H, _RASTER_SLAB, _RASTER_CTILE,
+                       right=True)
     return support.astype(np.int16), t1, p1, t2, p2, sel1, sel2
 
 
@@ -286,7 +288,9 @@ def _chunk_pads(wires):
     it."""
     Np = _pad_up(max(len(w[0]) for w in wires))
     Tp = _pad_up(max(max(len(w[1]), len(w[3])) for w in wires) + 1)
-    Ts = _pad_up(max(max(w[5].shape[1], w[6].shape[1]) for w in wires), 128)
+    # per-tile triangle lists are short (column tiling): a fine ladder
+    # keeps the padded raster tensor ~3x smaller than the 128 ladder did
+    Ts = _pad_up(max(max(w[5].shape[1], w[6].shape[1]) for w in wires), 32)
     return Np, Tp, Ts
 
 
@@ -349,11 +353,12 @@ def _raster_chunk(flat_dev, CH, Np, Tp, Ts, gh, gw, Db, W, H, gs):
     if key not in _RASTER_JITS:
         import jax.numpy as jnp
         from functools import partial
-        from .device_prior import (_RASTER_SLAB, _grid_impl,
+        from .device_prior import (_RASTER_CTILE, _RASTER_SLAB, _grid_impl,
                                    _slab_products_impl, _slab_raster_impl,
                                    _tri_coeffs_impl)
 
         S = -(-H // _RASTER_SLAB)
+        C = -(-W // _RASTER_CTILE)
 
         def unflat(flat):
             pos = [0]
@@ -372,7 +377,7 @@ def _raster_chunk(flat_dev, CH, Np, Tp, Ts, gh, gw, Db, W, H, gs):
                 paint = take(CH * Tp // 2).reshape(CH, Tp)
                 sides.append([tri, paint])
             for s in sides:
-                s.append(take(CH * S * Ts // 2).reshape(CH, S, Ts)
+                s.append(take(CH * S * C * Ts // 2).reshape(CH, S * C, Ts)
                          .astype(jnp.int32))
             return sp, sides
 
@@ -396,29 +401,35 @@ def _raster_chunk(flat_dev, CH, Np, Tp, Ts, gh, gw, Db, W, H, gs):
                     grid = jax.vmap(partial(
                         _grid_impl, right=right, gs=gs, gh=gh, gw=gw,
                         disp_max=Db - 1))(sp)
-                    sel_flat = (sel + toffs).reshape(CH * S * Ts)
+                    sel_flat = (sel + toffs).reshape(CH * S * C * Ts)
                     out.append((cu.astype(jnp.int16), cv.astype(jnp.int16),
                                 sb, pb, pv, paint.reshape(CH * Tp),
                                 grid, sel_flat))
                 return tuple(out)
 
-        def _row0():
-            base = (jnp.arange(S, dtype=jnp.int32)
-                    * _RASTER_SLAB)[None, :, None]
-            return jnp.broadcast_to(base, (CH, S, Ts)).reshape(-1)
+        def _tile0():
+            band = jnp.arange(S * C, dtype=jnp.int32)[None, :, None]
+            row0 = (band // C) * _RASTER_SLAB
+            col0 = (band % C) * _RASTER_CTILE
+            shape = (CH, S * C, Ts)
+            return (jnp.broadcast_to(row0, shape).reshape(-1),
+                    jnp.broadcast_to(col0, shape).reshape(-1))
 
         def muls(side):
             cu, cv, sb, pb, pv, paint, grid, sel = side
+            row0, col0 = _tile0()
             return _slab_products_impl(
-                sel, _row0(), cu.astype(jnp.int32), sb, pb,
-                W=W, slab=_RASTER_SLAB)
+                sel, row0, col0, cu.astype(jnp.int32), sb, pb,
+                CT=_RASTER_CTILE, slab=_RASTER_SLAB)
 
         def adds(side, pr):
             cu, cv, sb, pb, pv, paint, grid, sel = side
+            row0, col0 = _tile0()
             return _slab_raster_impl(
-                sel, _row0(), cu.astype(jnp.int32), cv.astype(jnp.int32),
-                pb, pv, paint, *pr,
-                CH=CH, S=S, Ts=Ts, W=W, H=H, slab=_RASTER_SLAB)
+                sel, row0, col0, cu.astype(jnp.int32),
+                cv.astype(jnp.int32), pb, pv, paint, *pr,
+                CH=CH, S=S, C=C, Ts=Ts, W=W, H=H, slab=_RASTER_SLAB,
+                CT=_RASTER_CTILE)
 
         def rasters(s1, s2, pr1, pr2):
             return adds(s1, pr1), adds(s2, pr2)
