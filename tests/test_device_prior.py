@@ -171,3 +171,53 @@ def test_sorted_wire_preserves_paint_order():
     assert np.array_equal(np.asarray(valid[0]), maps_host.valid)
     assert np.array_equal(np.asarray(dp[0])[maps_host.tri_id >= 0],
                           maps_host.d_plane[maps_host.tri_id >= 0])
+
+
+def test_slab_raster_wide_triangles_bit_equal_host():
+    """Column-tiled slab raster == host rasterizer on triangles spanning
+    MANY 128-column tiles and row bands (the golden scenes' spans average
+    ~14 px, so they never cross tiles; sparse support makes every
+    triangle multi-tile). Exercises slab_select's 2D duplication, the
+    right-side u-d binning, and the tile recompose."""
+    from jackal_tpu.matching.elas import pipeline as P
+    from jackal_tpu.matching.elas.device_prior import (
+        _RASTER_CTILE, _RASTER_SLAB, slab_select, tri_wire)
+
+    W, H = 640, 480
+    rng = np.random.default_rng(11)
+    # sparse, spread-out support: triangles span hundreds of px
+    us = rng.choice(np.arange(8, W - 8), size=14, replace=False)
+    vs = rng.choice(np.arange(8, H - 8), size=14, replace=False)
+    ds = rng.integers(6, 120, size=14)
+    support = np.stack([us, vs, ds], -1).astype(np.int32)
+
+    t1 = delaunay(support[:, :2].astype(np.float32))
+    right_pts = np.stack(
+        [support[:, 0] - support[:, 2], support[:, 1]], -1
+    ).astype(np.float32)
+    t2 = delaunay(right_pts)
+
+    tw1, pw1 = tri_wire(support, t1)
+    tw2, pw2 = tri_wire(support, t2)
+    sel1 = slab_select(support, tw1, W, H, _RASTER_SLAB, _RASTER_CTILE)
+    sel2 = slab_select(support, tw2, W, H, _RASTER_SLAB, _RASTER_CTILE,
+                       right=True)
+    wire = (support.astype(np.int16), tw1, pw1, tw2, pw2, sel1, sel2)
+
+    p = ElasParams()
+    gs = p.grid_size
+    gh, gw = -(-H // gs), -(-W // gs)
+    Np, Tp, Ts = P._chunk_pads([wire])
+    import jax.numpy as jnp
+    flat = jnp.asarray(P._flatten_chunk_wire([wire], Np, Tp, Ts))
+    m1, m2, _, _ = P._raster_chunk(flat, 1, Np, Tp, Ts, gh, gw,
+                                   p.disp_max + 1, W, H, gs)
+
+    for (dp, valid, covered), tri, right in ((m1, t1, False),
+                                             (m2, t2, True)):
+        planes = compute_disparity_planes(support, tri)
+        host = rasterize_planes(support, tri, planes, W, H, right)
+        assert np.array_equal(np.asarray(covered[0]), host.tri_id >= 0)
+        assert np.array_equal(np.asarray(valid[0]), host.valid)
+        cov = host.tri_id >= 0
+        assert np.array_equal(np.asarray(dp[0])[cov], host.d_plane[cov])
