@@ -101,6 +101,39 @@ def build_grid_native(
     return grid.astype(bool)
 
 
+def tri_wire_and_bin_native(
+    support: np.ndarray, tri: np.ndarray, W: int, H: int,
+    slab: int, ctile: int, right: bool = False,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """tri_wire + slab_select fused in C++ (native/wire_engine.cpp):
+    returns (tri_sorted int16 [T,3], paint int16 [T], sel int16 [S*C, Ts]).
+    Semantics twin of device_prior.tri_wire/slab_select (asserted equal in
+    tests/test_device_prior.py); the numpy pair costs ~2.4 ms/frame on
+    this 1-core host, the two C++ linear passes ~0.05 ms."""
+    lib = load_native()
+    T = len(tri)
+    S = -(-H // slab)
+    C = -(-W // ctile)
+    if T == 0:
+        return (np.zeros((0, 3), np.int16), np.zeros((0,), np.int16),
+                np.full((S * C, 1), -1, np.int16))
+    sp = np.ascontiguousarray(support, np.int16)
+    tr = np.ascontiguousarray(tri, np.int32)
+    tri_out = np.empty((T, 3), np.int16)
+    paint = np.empty((T,), np.int16)
+    cap = 48
+    while True:
+        sel = np.empty((S * C, cap), np.int16)
+        got = lib.tri_wire_and_bin(
+            _ptr(sp, ctypes.c_int16), len(sp), _ptr(tr, ctypes.c_int32), T,
+            W, H, slab, ctile, int(right), cap,
+            _ptr(tri_out, ctypes.c_int16), _ptr(paint, ctypes.c_int16),
+            _ptr(sel, ctypes.c_int16))
+        if got <= cap:
+            return tri_out, paint, sel[:, :max(got, 1)]
+        cap = got
+
+
 def fit_planes_native(support: np.ndarray, tri: np.ndarray) -> np.ndarray:
     """Per-triangle plane fit [T, 6] via the C++ full-pivot solve
     (prior_engine.cpp fit_planes, condensing matrix.cpp:414-502) — the

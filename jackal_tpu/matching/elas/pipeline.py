@@ -269,12 +269,21 @@ def _prior_tri_job(dcan_b, params, W, H, use_native):
     right_pts = np.stack(
         [support[:, 0] - support[:, 2], support[:, 1]], -1
     ).astype(np.float32)
-    t1, p1 = tri_wire(support, delaunay(left_pts))
-    t2, p2 = tri_wire(support, delaunay(right_pts))
-    sel1 = slab_select(support, t1, W, H, _RASTER_SLAB, _RASTER_CTILE)
-    sel2 = slab_select(support, t2, W, H, _RASTER_SLAB, _RASTER_CTILE,
-                       right=True)
-    return support.astype(np.int16), t1, p1, t2, p2, sel1, sel2
+    sp16 = support.astype(np.int16)
+    if use_native:
+        from .native_prior import tri_wire_and_bin_native
+        t1, p1, sel1 = tri_wire_and_bin_native(
+            sp16, delaunay(left_pts), W, H, _RASTER_SLAB, _RASTER_CTILE)
+        t2, p2, sel2 = tri_wire_and_bin_native(
+            sp16, delaunay(right_pts), W, H, _RASTER_SLAB, _RASTER_CTILE,
+            right=True)
+    else:
+        t1, p1 = tri_wire(support, delaunay(left_pts))
+        t2, p2 = tri_wire(support, delaunay(right_pts))
+        sel1 = slab_select(support, t1, W, H, _RASTER_SLAB, _RASTER_CTILE)
+        sel2 = slab_select(support, t2, W, H, _RASTER_SLAB, _RASTER_CTILE,
+                           right=True)
+    return sp16, t1, p1, t2, p2, sel1, sel2
 
 
 def _pad_up(n: int, step: int = 512) -> int:

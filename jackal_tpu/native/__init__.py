@@ -15,7 +15,8 @@ from typing import Optional
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_DIR, "prior_engine.cpp"),
-         os.path.join(_DIR, "delaunay_engine.cpp")]
+         os.path.join(_DIR, "delaunay_engine.cpp"),
+         os.path.join(_DIR, "wire_engine.cpp")]
 _SO = os.path.join(_DIR, "libjackal_prior.so")
 _HASH = _SO + ".srchash"
 _lock = threading.Lock()
@@ -75,6 +76,10 @@ def load() -> ctypes.CDLL:
             c_f32p, i, i, ctypes.c_float, i]
         lib.delaunay_exact.argtypes = [c_f32p, i, c_i32p, i, i]
         lib.delaunay_exact.restype = i
+        lib.tri_wire_and_bin.argtypes = [
+            c_i16p, i, c_i32p, i, i, i, i, i, i, i,
+            c_i16p, c_i16p, c_i16p]
+        lib.tri_wire_and_bin.restype = i
         _lib = lib
         return lib
 

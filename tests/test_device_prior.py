@@ -221,3 +221,50 @@ def test_slab_raster_wide_triangles_bit_equal_host():
         assert np.array_equal(np.asarray(valid[0]), host.valid)
         cov = host.tri_id >= 0
         assert np.array_equal(np.asarray(dp[0])[cov], host.d_plane[cov])
+
+
+def test_native_wire_engine_matches_numpy_twin():
+    """tri_wire_and_bin (native/wire_engine.cpp) vs the numpy
+    tri_wire + slab_select pair, on real support geometry (both sides) and
+    on adversarial spans (negative right-image u, u <= 1 columns,
+    off-image vmin-1 rows)."""
+    pytest.importorskip("jackal_tpu.native")
+    from jackal_tpu.native import available
+    if not available():
+        pytest.skip("native engine unavailable")
+    from jackal_tpu.matching.elas.device_prior import (
+        _RASTER_CTILE, _RASTER_SLAB, slab_select, tri_wire)
+    from jackal_tpu.matching.elas.native_prior import tri_wire_and_bin_native
+
+    def check(support, tri, W, H, right):
+        t_np, p_np = tri_wire(support, tri)
+        s_np = slab_select(support, t_np, W, H, _RASTER_SLAB,
+                           _RASTER_CTILE, right=right)
+        t_c, p_c, s_c = tri_wire_and_bin_native(
+            support.astype(np.int16), tri, W, H, _RASTER_SLAB,
+            _RASTER_CTILE, right=right)
+        np.testing.assert_array_equal(t_np, t_c)
+        np.testing.assert_array_equal(p_np, p_c)
+        Ts = max(s_np.shape[1], s_c.shape[1])
+
+        def pad(s):
+            out = np.full((s.shape[0], Ts), -1, np.int32)
+            out[:, :s.shape[1]] = s
+            return out
+
+        np.testing.assert_array_equal(pad(s_np), pad(s_c))
+
+    support, W, H = _case_support("elas_golden_s320_boxes.npz")
+    for right in (False, True):
+        pts = (np.stack([support[:, 0] - support[:, 2], support[:, 1]], -1)
+               if right else support[:, :2]).astype(np.float32)
+        check(support, delaunay(pts), W, H, right)
+
+    # adversarial: top-row triangles (vmin-1 < 0), d > u (negative right
+    # u spans), and u <= 1 (the max(umax, 1) - 1 clamp)
+    sp = np.array([[0, 0, 5], [1, 0, 1], [5, 9, 30], [630, 3, 200],
+                   [639, 479, 2], [2, 478, 1], [320, 240, 128]], np.int32)
+    for right in (False, True):
+        pts = (np.stack([sp[:, 0] - sp[:, 2], sp[:, 1]], -1)
+               if right else sp[:, :2]).astype(np.float32)
+        check(sp, delaunay(pts), 640, 480, right)

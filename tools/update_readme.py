@@ -1,0 +1,125 @@
+"""Regenerate README.md's measured numbers (VERDICT r3 weak #7: stale
+typed numbers — make them produced, never typed).
+
+Sources:
+  - the newest BENCH_r*.json in the repo root (the driver's bench record),
+    or a JSON line piped via --bench-json <file> (e.g. a fresh
+    `python bench.py > /tmp/bench.json` run);
+  - `pytest --collect-only -q` for the live test count.
+
+Rewrites the blocks between
+  <!-- BEGIN GENERATED: bench ... --> / <!-- END GENERATED: bench -->
+and
+  <!-- GENERATED: test-count --> ... <!-- /GENERATED -->
+in place.
+"""
+import argparse
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def latest_bench(path_override=None):
+    if path_override:
+        with open(path_override) as f:
+            txt = f.read()
+        # accept either the raw bench.py JSON line or the driver record
+        for line in txt.strip().splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                d = json.loads(line)
+                return d.get("parsed", d)
+        raise SystemExit(f"no JSON found in {path_override}")
+    files = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
+    if not files:
+        raise SystemExit("no BENCH_r*.json found")
+    with open(files[-1]) as f:
+        d = json.load(f)
+    return d.get("parsed", d)
+
+
+def metric_map(parsed):
+    m = {parsed["metric"]: parsed["value"]}
+    for e in parsed.get("metrics", []):
+        m[e["metric"]] = e["value"]
+    return m
+
+
+def bench_table(m):
+    def g(key, fmt="{:.0f}"):
+        return fmt.format(m[key]) if key in m else "n/a"
+
+    rows = [
+        ("Fused e2e (rect→BM disparity→**cloud**→scan), 640×480",
+         f"**{g('stereo_fps_per_chip_640x480_rect_disp_cloud_scan')} fps** "
+         f"batch 32 / **{g('headline_b64_fps')} fps** batch 64",
+         "target ≥500"),
+        ("ELAS disparity vs libelas",
+         "**bit-equal** (first-party exact Delaunay)", "budget ≤0.5 px"),
+        ("ELAS e2e 640×480, streaming batch 32",
+         f"**{g('elas_e2e_fps_640x480_d255')} fps**"
+         + (f" ({g('elas_e2e_fps_host_ingest')} fps with tunnel-bound host"
+            f" ingest)" if "elas_e2e_fps_host_ingest" in m else ""),
+         "reference: ~5-10 fps at 320×180 on a NUC CPU"),
+        ("SGM fused 1280×960/64",
+         f"**{g('sgm_fused_fps_1280x960_d64')} fps**", "—"),
+        ("BM at full D=256 search, 640×480",
+         f"**{g('bm_fused_fps_640x480_d256')} fps**", "—"),
+    ]
+    if "bm_rmse_vs_libelas_px" in m:
+        rows.append((
+            "BM-64 / SGM RMSE vs libelas (photographic pair)",
+            f"{m['bm_rmse_vs_libelas_px']:.1f} / "
+            f"{m['sgm_rmse_vs_libelas_px']:.1f} px — only ELAS meets the "
+            f"0.5 px clause", "docs/results.md"))
+    lines = ["| Metric | Value | Reference |", "|---|---|---|"]
+    lines += [f"| {a} | {b} | {c} |" for a, b, c in rows]
+    return "\n".join(lines)
+
+
+def test_count():
+    out = subprocess.run(
+        [sys.executable, "-m", "pytest", "--collect-only", "-q", "tests/"],
+        cwd=ROOT, capture_output=True, text=True, timeout=600)
+    mm = re.search(r"(\d+) tests? collected", out.stdout)
+    if not mm:
+        raise SystemExit(f"could not parse pytest collection:\n{out.stdout[-500:]}")
+    return int(mm.group(1))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bench-json", default=None,
+                    help="file holding a fresh bench.py JSON line")
+    ap.add_argument("--skip-tests", action="store_true")
+    args = ap.parse_args()
+
+    readme = os.path.join(ROOT, "README.md")
+    with open(readme) as f:
+        txt = f.read()
+
+    m = metric_map(latest_bench(args.bench_json))
+    txt = re.sub(
+        r"(<!-- BEGIN GENERATED: bench[^>]*-->\n).*?(\n<!-- END GENERATED: bench -->)",
+        lambda mo: mo.group(1) + bench_table(m) + mo.group(2),
+        txt, flags=re.S)
+
+    if not args.skip_tests:
+        n = test_count()
+        txt = re.sub(
+            r"<!-- GENERATED: test-count -->.*?<!-- /GENERATED -->",
+            f"<!-- GENERATED: test-count -->{n} tests<!-- /GENERATED -->",
+            txt)
+
+    with open(readme, "w") as f:
+        f.write(txt)
+    print("README.md regenerated")
+
+
+if __name__ == "__main__":
+    main()
