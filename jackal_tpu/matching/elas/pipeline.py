@@ -53,6 +53,10 @@ class _Static:
     """Hashable jit-static bundle."""
     params: ElasParams
     use_pallas: bool
+    # static L/R sweep bound (post.left_right_consistency_check): the
+    # host-known scene disparity ceiling, laddered to multiples of 32 to
+    # bound retraces. -1 = full disp_max sweep.
+    lr_smax: int = -1
 
 
 def _front(left_b, right_b, static: _Static):
@@ -99,7 +103,8 @@ def _dense_post_impl(d1, d2, dp1, va1, cv1, g1, dp2, va2, cv2, g2,
         dm_r = jax.vmap(lambda a, b, dp, pv, cv, gm: dense_match(
             a, b, dp, pv, cv, gm, p, True))
         D1, D2 = dm(d1, d2, *m1), dm_r(d1, d2, *m2)
-    return jax.vmap(lambda a, b: postprocess(a, b, p))(D1, D2)
+    from .post import postprocess_batch
+    return postprocess_batch(D1, D2, p, st.lr_smax)
 
 
 def _make_jits():
@@ -288,6 +293,21 @@ def _prior_tri_job(dcan_b, params, W, H, use_native):
 
 def _pad_up(n: int, step: int = 512) -> int:
     return -(-max(n, 1) // step) * step
+
+
+def _lr_ladder(wires, params: ElasParams) -> int:
+    """Static L/R sweep bound for a chunk: max support disparity + 2
+    (the provable ceiling of every dense output — grid candidates reach
+    max support d + 1, plane windows d_plane + plane_radius = 2) plus one
+    ladder margin, rounded up to 32 so at most disp_max/32 variants of the
+    dense+post program ever compile."""
+    maxd = -1
+    for w in wires:
+        if len(w[0]):
+            maxd = max(maxd, int(w[0][:, 2].max()))
+    if maxd < 0:
+        return 32
+    return min(params.disp_max, -(-(maxd + 3) // 32) * 32)
 
 
 def _chunk_pads(wires):
@@ -512,7 +532,7 @@ def elas_match_batch_device(
         wires = [prior_futs[b].result() for b in range(c0, c0 + chunk)]
         Np, Tp, Ts = _chunk_pads(wires)
         return (jnp.asarray(_flatten_chunk_wire(wires, Np, Tp, Ts)),
-                Np, Tp, Ts)
+                Np, Tp, Ts, _lr_ladder(wires, params))
 
     outs = []
     with ThreadPoolExecutor(max_workers=3) as pool:
@@ -524,12 +544,13 @@ def elas_match_batch_device(
         up_futs = [pool.submit(upload_chunk, prior_futs, c0)
                    for c0 in range(0, B, chunk)]
         for c0, uf in zip(range(0, B, chunk), up_futs):
-            flat, Np, Tp, Ts = uf.result()
+            flat, Np, Tp, Ts, lad = uf.result()
             m1, m2, g1, g2 = _raster_chunk(flat, chunk, Np, Tp, Ts, gh, gw,
                                            Db, W, H, gs)
             sl = slice(c0, c0 + chunk)
+            st = dataclasses.replace(static, lr_smax=lad)
             outs.append(
-                _dense_post(d1[sl], d2[sl], *m1, g1, *m2, g2, static))
+                _dense_post(d1[sl], d2[sl], *m1, g1, *m2, g2, st))
 
     if len(outs) == 1:
         return outs[0]
@@ -584,7 +605,7 @@ def elas_match_stream(
             Np, Tp, Ts = _chunk_pads(w)
             chunks.append(
                 (jnp.asarray(_flatten_chunk_wire(w, Np, Tp, Ts)),
-                 Np, Tp, Ts, c0))
+                 Np, Tp, Ts, c0, _lr_ladder(w, params)))
         return d1, d2, chunks
 
     with ThreadPoolExecutor(max_workers=depth) as pool:
@@ -615,12 +636,13 @@ def elas_match_stream(
             gh, gw = -(-H // gs), -(-W // gs)
             Db = params.disp_max + 1
             outs = []
-            for flat, Np, Tp, Ts, c0 in chunks:
+            for flat, Np, Tp, Ts, c0, lad in chunks:
                 m1, m2, g1, g2 = _raster_chunk(
                     flat, chunkB, Np, Tp, Ts, gh, gw, Db, W, H, gs)
                 sl = slice(c0, c0 + chunkB)
+                st = dataclasses.replace(static, lr_smax=lad)
                 outs.append(
-                    _dense_post(d1[sl], d2[sl], *m1, g1, *m2, g2, static))
+                    _dense_post(d1[sl], d2[sl], *m1, g1, *m2, g2, st))
             if len(outs) == 1:
                 yield outs[0]
             else:
@@ -713,7 +735,8 @@ def elas_match_batch_multichip(
         wires = [prior_futs[b].result() for b in range(c0, c0 + chunk)]
         Np, Tp, Ts = _chunk_pads(wires)
         flat = _flatten_chunk_wire(wires, Np, Tp, Ts)
-        return jax.device_put(flat, dev), Np, Tp, Ts
+        return (jax.device_put(flat, dev), Np, Tp, Ts,
+                _lr_ladder(wires, params))
 
     outs = [[] for _ in devices]
     with ThreadPoolExecutor(max_workers=3) as pool:
@@ -726,14 +749,15 @@ def elas_match_batch_multichip(
             (i, pool.submit(upload_chunk, prior_futs[i], c0, devices[i]))
             for c0 in range(0, Bs, chunk) for i in range(n)]
         for i, uf in up_futs:
-            flat, Np, Tp, Ts = uf.result()
+            flat, Np, Tp, Ts, lad = uf.result()
             m1, m2, g1, g2 = _raster_chunk(flat, chunk, Np, Tp, Ts, gh, gw,
                                            Db, W, H, gs)
             d1, d2, _ = fronts[i]
             c0 = (len(outs[i])) * chunk
             sl = slice(c0, c0 + chunk)
+            st = dataclasses.replace(static, lr_smax=lad)
             outs[i].append(
-                _dense_post(d1[sl], d2[sl], *m1, g1, *m2, g2, static))
+                _dense_post(d1[sl], d2[sl], *m1, g1, *m2, g2, st))
 
     D1 = np.concatenate([np.asarray(o[0]) for dev in outs for o in dev])
     D2 = np.concatenate([np.asarray(o[1]) for dev in outs for o in dev])

@@ -30,9 +30,10 @@ from ...config import ElasParams
 from ...ops.shifts import shifted_row_lookup
 
 
-@partial(jax.jit, static_argnames=("params",))
+@partial(jax.jit, static_argnames=("params", "smax"))
 def left_right_consistency_check(
-    D1: jnp.ndarray, D2: jnp.ndarray, params: ElasParams = ElasParams()
+    D1: jnp.ndarray, D2: jnp.ndarray, params: ElasParams = ElasParams(),
+    smax: int = -1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """elas.cpp:909-979. Invalid -> -10.
 
@@ -41,10 +42,18 @@ def left_right_consistency_check(
     bound — while_loop to the scene's live disparity range — measured
     SLOWER than the static unrolled 0..disp_max sweep: 0.50 vs 0.42
     ms/frame at 640x480; the loop carry and the bound's max-reduce cost
-    more than the dead selects they remove.)"""
+    more than the dead selects they remove.)
+
+    smax: optional STATIC sweep bound < disp_max. The batched pipeline
+    passes the host-known scene bound (max support disparity + 2, laddered
+    — every dense output is a grid candidate [<= max support d + 1,
+    createGrid's d+/-1 marking] or lies in a plane window [d_plane is a
+    corner-disparity interpolation <= max support d, + plane_radius = 2]),
+    so the sweep skips provably-dead shifts bit-exactly. -1 = full range.
+    """
     H, W = D1.shape
     u = jnp.arange(W)[None, :].astype(jnp.float32)
-    smax = params.disp_max
+    smax = params.disp_max if smax < 0 else min(smax, params.disp_max)
 
     def check(Da, Db, sign):
         # subsampling: u_warp = u -/+ d/2 (elas.cpp:937-939)
@@ -237,6 +246,119 @@ def remove_small_segments(
     # clamped AT thr still fails `< thr`, smaller sizes are unclamped
     seg_size = _segment_sizes(lbl, D >= 0, clamp=max(thr, 1))
     kill = (D >= 0) & (seg_size < thr)
+    return jnp.where(kill, -10.0, D)
+
+
+# ---------------------------------------------------------------------------
+# batched speckle kill via run compaction (the production batched path)
+# ---------------------------------------------------------------------------
+
+_RUN_CAP = 128   # per-row run-slot budget of the compact path (lane width)
+
+
+def _runs_along_rows(lbl2: jnp.ndarray, valid2: jnp.ndarray):
+    """Maximal same-label runs of valid pixels along rows. lbl2/valid2
+    [R, W]. Returns (start mask, runlen at starts, per-row max run count).
+    Adjacent valid pixels with equal label are by construction in the same
+    component (labels are per-component minima), so grouping by label value
+    partitions each component's pixels into row runs exactly."""
+    W = lbl2.shape[1]
+    u = jnp.arange(W, dtype=jnp.int32)[None, :]
+    same = (lbl2 == jnp.roll(lbl2, 1, 1)) & valid2 & jnp.roll(valid2, 1, 1)
+    same = same.at[:, 0].set(False)
+    start = valid2 & ~same
+    same_next = jnp.roll(same, -1, 1).at[:, -1].set(False)
+    end = valid2 & ~same_next
+    # next run end at u' >= u: marked u's increase, so a reverse cummin of
+    # (end ? u : W) is exactly the next marked column
+    u_end_next = jax.lax.cummin(jnp.where(end, u, W), axis=1, reverse=True)
+    runlen = u_end_next - u + 1
+    nruns = jnp.max(jnp.sum(start.astype(jnp.int32), axis=1))
+    return start, runlen, nruns
+
+
+def _small_segment_kill_batch(
+    lbl: jnp.ndarray, valid: jnp.ndarray, thr: int
+) -> jnp.ndarray:
+    """Batched `component size < thr` mask [B, H, W] for valid pixels.
+
+    The per-frame sort path (_segment_sizes) pays two [H*W] sorts per
+    frame (~2.0 ms at 640x480 — the dominant postprocess cost). Components
+    decompose into per-row runs (~10-40 per row on real scenes), and run
+    TOTALS determine the kill, so the compact path:
+
+      1. row-sorts run starts to the front ([B*H, W] short-sequence sort,
+         ~3x cheaper per element than a flat [H*W] sort);
+      2. aggregates run lengths per label over the [B*H, _RUN_CAP] slot
+         prefix — a global sort of 5x fewer elements;
+      3. routes the per-run kill bit back through two 1-operand packed
+         sorts and floods it across each run with a native cummax.
+
+    A lax.cond falls back to the per-frame sort path when any row has
+    more than _RUN_CAP runs (adversarial content), so the decision is
+    bit-exact for every input. The cond sits at batch level — under vmap
+    it would execute both branches every time."""
+    B, H, W = lbl.shape
+    n = H * W
+    R = B * H
+    cap = min(_RUN_CAP, W)
+    offs = (jnp.arange(B, dtype=jnp.int32) * n)[:, None, None]
+    l2 = (lbl + offs).reshape(R, W)          # batch-global labels < B*n
+    v2 = valid.reshape(R, W)
+    start, runlen, nruns = _runs_along_rows(l2, v2)
+    u = jnp.arange(W, dtype=jnp.int32)[None, :]
+
+    def compact(_):
+        k1 = jnp.where(start, u, W + u)                       # [R, W]
+        sk, sl, srl = jax.lax.sort((k1, l2, runlen), num_keys=1,
+                                   dimension=1)
+        slot_ok = sk[:, :cap] < W
+        big = jnp.int32(2 ** 30)
+        key = jnp.where(slot_ok, sl[:, :cap], big).reshape(-1)
+        rl = jnp.where(slot_ok, srl[:, :cap], 0).reshape(-1)
+        pos = jnp.arange(R * cap, dtype=jnp.int32)
+        gk, grl, gpos = jax.lax.sort((key, rl, pos), num_keys=1)
+        new_seg = jnp.concatenate(
+            [jnp.ones((1,), bool), gk[1:] != gk[:-1]])
+        end_seg = jnp.concatenate([new_seg[1:], jnp.ones((1,), bool)])
+        cs = jnp.cumsum(grl, dtype=jnp.int32)                 # inclusive
+        cs_before = jax.lax.cummax(
+            jnp.where(new_seg, cs - grl, -1))                 # monotone
+        cs_end = jax.lax.cummin(
+            jnp.where(end_seg, cs, jnp.int32(B * n + 1)), reverse=True)
+        tot = cs_end - cs_before
+        kill_sorted = ((tot < thr) & (gk < big)).astype(jnp.int32)
+        # unsort kill to slot order: ONE 1-operand packed sort
+        kill_slot = jax.lax.sort((gpos << 1) | kill_sorted) & 1
+        kill_pad = jnp.zeros((R, W), jnp.int32) \
+            .at[:, :cap].set(kill_slot.reshape(R, cap))
+        # route slots back to their original columns (row-sort inverse):
+        # u_orig is recoverable from the forward sort key
+        u_orig = jnp.where(sk < W, sk, sk - W)
+        inv = jax.lax.sort((u_orig << 1) | kill_pad, dimension=1) & 1
+        # flood each run's kill bit from its start across the run
+        floodkey = jnp.where(start, (u << 1) | inv, -1)
+        flooded = jax.lax.cummax(floodkey, axis=1)
+        return (v2 & ((flooded & 1) == 1)).reshape(B, H, W)
+
+    def fallback(_):
+        thr_c = max(int(thr), 1)
+        sizes = jax.vmap(
+            lambda lb, va: _segment_sizes(lb, va, clamp=thr_c))(lbl, valid)
+        return valid & (sizes < thr)
+
+    return jax.lax.cond(nruns <= cap, compact, fallback, None)
+
+
+def remove_small_segments_batch(
+    D: jnp.ndarray, params: ElasParams
+) -> jnp.ndarray:
+    """Batched remove_small_segments [B, H, W], bit-identical to the
+    per-frame form (asserted in tests/test_speckle_cc.py)."""
+    lbl = jax.vmap(lambda d: _connected_component_labels(
+        d, params.speckle_sim_threshold))(D)
+    thr = speckle_size_eff(params)
+    kill = _small_segment_kill_batch(lbl, D >= 0, thr)
     return jnp.where(kill, -10.0, D)
 
 
@@ -492,15 +614,16 @@ def post_tail(
     return D1, D2
 
 
-@partial(jax.jit, static_argnames=("params",))
+@partial(jax.jit, static_argnames=("params", "lr_smax"))
 def postprocess(
-    D1: jnp.ndarray, D2: jnp.ndarray, params: ElasParams = ElasParams()
+    D1: jnp.ndarray, D2: jnp.ndarray, params: ElasParams = ElasParams(),
+    lr_smax: int = -1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full postprocessing chain as ONE jitted program (elas.cpp:108-140):
     L/R check -> speckle -> gaps -> adaptive mean -> median, honoring
     postprocess_only_left. One device program instead of 4-6 dispatch
-    round-trips per frame."""
-    D1, D2 = left_right_consistency_check(D1, D2, params)
+    round-trips per frame. lr_smax: see left_right_consistency_check."""
+    D1, D2 = left_right_consistency_check(D1, D2, params, lr_smax)
     D1 = remove_small_segments(D1, params)
     if not params.postprocess_only_left:
         D2 = remove_small_segments(D2, params)
@@ -517,6 +640,25 @@ def postprocess(
         if not params.postprocess_only_left:
             D2 = median_filter(D2)
     return D1, D2
+
+
+@partial(jax.jit, static_argnames=("params", "lr_smax"))
+def postprocess_batch(
+    D1: jnp.ndarray, D2: jnp.ndarray, params: ElasParams = ElasParams(),
+    lr_smax: int = -1,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched postprocess [B, H, W], bit-identical to vmapping
+    `postprocess` over frames. Exists so the speckle kill can run its
+    batch-level run-compaction cond (_small_segment_kill_batch) — under a
+    per-frame vmap the cond would execute both branches."""
+    lr = jax.vmap(lambda a, b: left_right_consistency_check(
+        a, b, params, lr_smax))
+    D1, D2 = lr(D1, D2)
+    D1 = remove_small_segments_batch(D1, params)
+    if not params.postprocess_only_left:
+        D2 = remove_small_segments_batch(D2, params)
+    tail = jax.vmap(lambda a, b: post_tail(a, b, params))
+    return tail(D1, D2)
 
 
 @jax.jit

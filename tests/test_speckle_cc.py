@@ -81,3 +81,76 @@ def test_similarity_threshold_edges():
     d[20, 150] = 7.0 + PARAMS.speckle_sim_threshold   # joined edge
     d[22, 0:10] = 3.0                             # small -> killed
     _check(d)
+
+
+def test_batched_speckle_kill_matches_per_frame():
+    """remove_small_segments_batch (run-compaction + batch-level cond) vs
+    the per-frame sort path, on mixed-content batches — both the compact
+    branch (smooth fields) and structured labels."""
+    import jax.numpy as jnp
+    from jackal_tpu.matching.elas import post as PP
+    from jackal_tpu.config import ElasParams
+
+    p = ElasParams()
+    rng = np.random.default_rng(7)
+    B, H, W = 3, 64, 96
+    D = rng.integers(0, 40, (B, H, W)).astype(np.float32)
+    D[rng.random((B, H, W)) < 0.3] = -10.0
+    D[1, :, :] = 12.0                      # one huge component
+    D[2, ::3, :] = -10.0                   # striped
+    got = np.asarray(PP.remove_small_segments_batch(jnp.asarray(D), p))
+    for b in range(B):
+        ref = np.asarray(PP.remove_small_segments(jnp.asarray(D[b]), p))
+        np.testing.assert_array_equal(got[b], ref)
+
+
+def test_batched_speckle_kill_fallback_many_runs():
+    """Rows with more than _RUN_CAP runs must take the cond fallback and
+    still match the per-frame path exactly."""
+    import jax.numpy as jnp
+    from jackal_tpu.matching.elas import post as PP
+    from jackal_tpu.config import ElasParams
+
+    p = ElasParams()
+    D = np.full((1, 8, 400), -10.0, np.float32)
+    # alternating single-pixel runs with |dd| > sim threshold: 200 runs/row
+    D[0, :, ::2] = (np.arange(200)[None, :] * 3 % 37).astype(np.float32)
+    got = np.asarray(PP.remove_small_segments_batch(jnp.asarray(D), p))
+    ref = np.asarray(PP.remove_small_segments(jnp.asarray(D[0]), p))
+    np.testing.assert_array_equal(got[0], ref)
+
+
+def test_postprocess_batch_matches_vmapped():
+    import jax.numpy as jnp
+    from jackal_tpu.matching.elas import post as PP
+    from jackal_tpu.config import ElasParams
+
+    for p in (ElasParams(), ElasParams.middlebury()):
+        rng = np.random.default_rng(11)
+        B, H, W = 2, 48, 80
+        D1 = rng.integers(-1, 30, (B, H, W)).astype(np.float32)
+        D2 = rng.integers(-1, 30, (B, H, W)).astype(np.float32)
+        a1, a2 = PP.postprocess_batch(jnp.asarray(D1), jnp.asarray(D2), p)
+        for b in range(B):
+            r1, r2 = PP.postprocess(jnp.asarray(D1[b]), jnp.asarray(D2[b]), p)
+            np.testing.assert_array_equal(np.asarray(a1[b]), np.asarray(r1))
+            np.testing.assert_array_equal(np.asarray(a2[b]), np.asarray(r2))
+
+
+def test_lr_check_static_sweep_bound():
+    """left_right_consistency_check with a live-range smax >= max scene
+    disparity must equal the full-range sweep bit-for-bit."""
+    import jax.numpy as jnp
+    from jackal_tpu.matching.elas import post as PP
+    from jackal_tpu.config import ElasParams
+
+    p = ElasParams()
+    rng = np.random.default_rng(3)
+    H, W = 48, 160
+    D1 = rng.integers(-1, 60, (H, W)).astype(np.float32)
+    D2 = rng.integers(-1, 60, (H, W)).astype(np.float32)
+    full = PP.left_right_consistency_check(jnp.asarray(D1), jnp.asarray(D2), p)
+    lad = PP.left_right_consistency_check(jnp.asarray(D1), jnp.asarray(D2),
+                                          p, 64)
+    np.testing.assert_array_equal(np.asarray(full[0]), np.asarray(lad[0]))
+    np.testing.assert_array_equal(np.asarray(full[1]), np.asarray(lad[1]))

@@ -1,9 +1,12 @@
 """Breakdown of the device dense+postprocess dispatch (ELAS batch path):
 dense Pallas, L/R check, speckle CC scans, segment-size scatter, tail."""
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -97,6 +100,15 @@ def main():
 
     full = jax.jit(jax.vmap(lambda a, b: PP.postprocess(a, b, params)))
     bench("full postprocess", full, D1, D2)
+
+    fullb = jax.jit(lambda a, b: PP.postprocess_batch(a, b, params))
+    bench("postprocess_batch", fullb, D1, D2)
+
+    fullb96 = jax.jit(lambda a, b: PP.postprocess_batch(a, b, params, 96))
+    bench("postprocess_batch lr=96", fullb96, D1, D2)
+
+    killb = jax.jit(lambda d: PP.remove_small_segments_batch(d, params))
+    bench("speckle batch (CC+kill)", killb, D1c)
 
 
 if __name__ == "__main__":
