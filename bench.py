@@ -43,14 +43,17 @@ def _timeit(run, sync, iters, repeats):
 
 
 def _fixture_batch(jnp, B, H, W):
-    """Fixture-scene stereo batch (the BM/SGM kernels are content-
-    independent, but benching on imagery keeps the content-dependent
-    stages honest — VERDICT r2 weak #5)."""
-    z = np.load(os.path.join(ROOT, "tests/fixtures",
-                             "elas_golden_s640_boxes.npz"))
-    lb = jnp.asarray(np.broadcast_to(z["left"], (B, H, W)).copy())
-    rb = jnp.asarray(np.broadcast_to(z["right"], (B, H, W)).copy())
-    return z, lb, rb
+    """MIXED-content stereo batch: the synthetic boxes scene and the
+    photographic pair interleaved (VERDICT r3 weak #4 — ELAS wall clock
+    is content-dependent by design via the dead d-chunk skip, so a
+    content-identical batch flatters the number). Returns the two golden
+    records, device batches, and the per-frame scene index."""
+    zs = [np.load(os.path.join(ROOT, "tests/fixtures", f))
+          for f in ("elas_golden_s640_boxes.npz", "elas_golden_photo.npz")]
+    scene = np.arange(B) % len(zs)
+    lb = jnp.asarray(np.stack([zs[s]["left"] for s in scene]))
+    rb = jnp.asarray(np.stack([zs[s]["right"] for s in scene]))
+    return zs, scene, lb, rb
 
 
 def bench_headline(jnp, calib, B=32):
@@ -66,7 +69,7 @@ def bench_headline(jnp, calib, B=32):
         crop_im_width=W, crop_im_height=H, gen_pcl=True)
     pipe = StereoPipeline(calib, params, engine="bm",
                           bm_params=BMParams(disp_num=64))
-    _, lb, rb = _fixture_batch(jnp, B, H, W)
+    _, _, lb, rb = _fixture_batch(jnp, B, H, W)
     out = [None]
 
     def run():
@@ -81,30 +84,19 @@ def bench_headline(jnp, calib, B=32):
     return B / dt
 
 
-def bench_elas(jnp):
-    """ELAS steady-state streaming throughput (the production shape:
-    point_cloud.cpp consumes a camera stream, elas.cpp:32-151 runs per
-    frame). elas_match_stream double-buffers so batch k+1's host stages
-    (support pruning + Delaunay on this 1-core host) overlap batch k's
-    device tail; the first two batches are pipeline fill and excluded.
-    Inputs are device-resident, matching the other configs (the axon
-    tunnel's ~50 MB/s host link is a dev-harness artifact, not TPU I/O —
-    see docs/performance.md for the measured with-upload number)."""
-    from jackal_tpu.config import ElasParams
+def _stream_fps(pairs_fn, p, B, NB):
+    """Steady-state fps of elas_match_stream over NB batches (first two
+    are pipeline fill, excluded), best of two passes; returns the last
+    batch's D1 as well."""
     from jackal_tpu.matching.elas.pipeline import elas_match_stream
 
-    B, H, W = 32, 480, 640
-    NB = 10
-    z, lb, rb = _fixture_batch(jnp, B, H, W)
-    p = ElasParams()
-
     best = None
+    D1 = None
     for _ in range(2):
         t_start = None
         n_done = 0
         for i, (D1, D2) in enumerate(
-                elas_match_stream(((lb, rb) for _ in range(NB)), p,
-                                  chunk=4)):
+                elas_match_stream(pairs_fn(), p, chunk=4)):
             float(D1.sum())               # consume like a real subscriber
             if i == 1:
                 t_start = time.perf_counter()
@@ -112,13 +104,84 @@ def bench_elas(jnp):
                 n_done += 1
         dt = (time.perf_counter() - t_start) / n_done
         best = dt if best is None else min(best, dt)
+    return B / best, D1
 
-    D1h = np.asarray(D1[0])
-    ref = z["D1"]
-    both = (D1h >= 0) & (ref >= 0)
-    rmse = float(np.sqrt(np.mean((D1h[both] - ref[both]) ** 2)))
-    mask_agree = float(np.mean((D1h >= 0) == (ref >= 0)))
-    return B / best, rmse, mask_agree
+
+def bench_elas(jnp):
+    """ELAS steady-state streaming throughput on a MIXED-content batch
+    (the production shape: point_cloud.cpp consumes a camera stream,
+    elas.cpp:32-151 runs per frame). Two numbers:
+
+      - device-resident inputs, matching the other configs (the axon
+        tunnel's ~50 MB/s host link is a dev-harness artifact, not TPU
+        I/O);
+      - host-ingest: numpy batches uploaded per batch inside the stream
+        (the reference ingests host bytes, point_cloud.cpp:431-448) —
+        tunnel-bound on this rig, tracked so the caveat is a number
+        (VERDICT r3 missing #3).
+
+    Accuracy is checked on EVERY frame of the last batch against its
+    scene's libelas golden (VERDICT r3 weak #6)."""
+    from jackal_tpu.config import ElasParams
+
+    B, H, W = 32, 480, 640
+    NB = 10
+    zs, scene, lb, rb = _fixture_batch(jnp, B, H, W)
+    p = ElasParams()
+
+    fps_dev, D1 = _stream_fps(lambda: ((lb, rb) for _ in range(NB)), p,
+                              B, NB)
+
+    lh, rh = np.asarray(lb), np.asarray(rb)
+    fps_host, _ = _stream_fps(lambda: ((lh.copy(), rh.copy())
+                                       for _ in range(NB)), p, B, NB)
+
+    D1h = np.asarray(D1)
+    ses, maxes, agrees = [], [], []
+    for b in range(B):
+        ref = zs[scene[b]]["D1"]
+        both = (D1h[b] >= 0) & (ref >= 0)
+        err = D1h[b][both] - ref[both]
+        ses.append((err ** 2).sum())
+        maxes.append(both.sum())
+        agrees.append(np.mean((D1h[b] >= 0) == (ref >= 0)))
+    rmse = float(np.sqrt(np.sum(ses) / max(np.sum(maxes), 1)))
+    mask_agree = float(np.mean(agrees))
+    return fps_dev, fps_host, rmse, mask_agree
+
+
+def bench_engine_accuracy(jnp):
+    """BM/SGM disparity RMSE + valid-mask agreement vs the libelas goldens,
+    pooled over the boxes and photographic scenes (VERDICT r3 item 2: the
+    composed >=500 fps / <=0.5 px target must be evaluated on one path).
+    BM-64 is the headline-bench engine config; SGM at D=128 covers the
+    scenes' full disparity range. Per-scene numbers: docs/results.md."""
+    from jackal_tpu.config import BMParams, SGMParams
+    from jackal_tpu.matching.bm import bm_match_batch
+    from jackal_tpu.matching.sgm import sgm_match_batch
+
+    zs = [np.load(os.path.join(ROOT, "tests/fixtures", f))
+          for f in ("elas_golden_s640_boxes.npz", "elas_golden_photo.npz")]
+
+    def pooled(fn):
+        se, n, agree, tot = 0.0, 0, 0.0, 0
+        for z in zs:
+            D = np.asarray(fn(jnp.asarray(z["left"][None]),
+                              jnp.asarray(z["right"][None]))[0][0])
+            ref = z["D1"]
+            both = (D >= 0) & (ref >= 0)
+            err = D[both] - ref[both]
+            se += float((err ** 2).sum())
+            n += int(both.sum())
+            agree += float(((D >= 0) == (ref >= 0)).sum())
+            tot += ref.size
+        return float(np.sqrt(se / max(n, 1))), agree / tot
+
+    bm_rmse, bm_agree = pooled(
+        lambda a, b: bm_match_batch(a, b, BMParams(disp_num=64)))
+    sgm_rmse, sgm_agree = pooled(
+        lambda a, b: sgm_match_batch(a, b, SGMParams(disp_num=128)))
+    return bm_rmse, bm_agree, sgm_rmse, sgm_agree
 
 
 def bench_sgm(jnp, calib):
@@ -155,7 +218,7 @@ def bench_bm256(jnp, calib):
                             im_height=H, crop_im_width=W, crop_im_height=H)
     pipe = StereoPipeline(calib, params, engine="bm",
                           bm_params=BMParams(disp_num=256))
-    _, lb, rb = _fixture_batch(jnp, B, H, W)
+    _, _, lb, rb = _fixture_batch(jnp, B, H, W)
     out = [None]
 
     def run():
@@ -177,9 +240,10 @@ def main():
 
     fps = bench_headline(jnp, calib)
     fps64 = bench_headline(jnp, calib, B=64)
-    elas_fps, elas_rmse, elas_mask = bench_elas(jnp)
+    elas_fps, elas_host_fps, elas_rmse, elas_mask = bench_elas(jnp)
     sgm_fps = bench_sgm(jnp, calib)
     bm256_fps = bench_bm256(jnp, calib)
+    bm_rmse, bm_agree, sgm_rmse, sgm_agree = bench_engine_accuracy(jnp)
 
     print(json.dumps({
         "metric": "stereo_fps_per_chip_640x480_rect_disp_cloud_scan",
@@ -195,6 +259,18 @@ def main():
              "unit": "px", "vs_baseline": round(elas_rmse / 0.5, 4)},
             {"metric": "elas_valid_mask_agreement",
              "value": round(elas_mask, 5), "unit": "frac", "vs_baseline": 1.0},
+            {"metric": "elas_e2e_fps_host_ingest",
+             "value": round(elas_host_fps, 2), "unit": "frames/s",
+             "vs_baseline": round(elas_host_fps / 500.0, 3)},
+            {"metric": "bm_rmse_vs_libelas_px", "value": round(bm_rmse, 3),
+             "unit": "px", "vs_baseline": round(bm_rmse / 0.5, 3)},
+            {"metric": "bm_valid_mask_agreement_vs_libelas",
+             "value": round(bm_agree, 4), "unit": "frac", "vs_baseline": 1.0},
+            {"metric": "sgm_rmse_vs_libelas_px", "value": round(sgm_rmse, 3),
+             "unit": "px", "vs_baseline": round(sgm_rmse / 0.5, 3)},
+            {"metric": "sgm_valid_mask_agreement_vs_libelas",
+             "value": round(sgm_agree, 4), "unit": "frac",
+             "vs_baseline": 1.0},
             {"metric": "sgm_fused_fps_1280x960_d64", "value": round(sgm_fps, 2),
              "unit": "frames/s", "vs_baseline": round(sgm_fps / 500.0, 3)},
             {"metric": "bm_fused_fps_640x480_d256",

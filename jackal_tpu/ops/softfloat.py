@@ -295,6 +295,80 @@ def f64_to_f32_bits(bits):
     return out.astype(jnp.int32)
 
 
+def f64_sqrt(a):
+    """sqrt(a) with RNE, a >= 0 normal or zero (the exact-scan path feeds
+    r^2 = fl(fl(X*X) + fl(Y*Y)) >= 0). Matches IEEE-754 (and therefore
+    x86 sqrtsd / C sqrt) bit-for-bit: sqrt is one of the correctly-rounded
+    required operations, so hardware leaves no latitude.
+
+    Method: reduce to the 106-bit integer square root y = isqrt(N),
+    N = m2 << 52 with m2 the mantissa at even exponent. Two f32-estimated
+    Newton stages (a variable u64 `//` is forbidden on TPU — see
+    _div_chunk) leave |y - isqrt(N)| <~ 12; the exact floor is restored by
+    16 where-steps on the residual D = y^2 - N, which fits int64 because
+    y is already near sqrt(N): with y1 = z*2^26 + dy,
+    D = (z*dy - e_z*2^25)*2^27 + dy^2 where every term is small. RNE needs
+    no tie handling (a 106-bit square has no .5 fraction)."""
+    s, e, m, iszero = _unpack(a)
+    E = _i(e) - 1075                          # value = m * 2^E
+    odd = (E & 1) != 0
+    m2 = jnp.where(odd, m << jnp.uint64(1), m)      # [2^52, 2^54)
+    E2 = jnp.where(odd, E - 1, E)                   # even
+
+    # stage 1: z = floor(sqrt(m2)), z in [2^26, 2^27)
+    m2f = m2.astype(jnp.float32)
+    z = jnp.sqrt(m2f).astype(jnp.int64)             # |err| <~ 2^4
+    z = jnp.maximum(z, jnp.int64(1))
+    e_z0 = _i(m2) - z * z                           # fits: |.| < 2^33
+    dzf = e_z0.astype(jnp.float32) / (2.0 * z.astype(jnp.float32))
+    z = z + dzf.astype(jnp.int64)
+    for _ in range(4):                              # exact floor on z
+        too_big = z * z > _i(m2)
+        z = jnp.where(too_big, z - 1, z)
+    for _ in range(4):
+        nxt = (z + 1) * (z + 1)
+        low = nxt <= _i(m2)
+        z = jnp.where(low, z + 1, z)
+    e_z = _i(m2) - z * z                            # in [0, 2z]
+
+    # stage 2: y = z*2^26 + dy, dy ~ e_z*2^25/z
+    num = e_z << jnp.int64(25)                      # <= 2^53
+    dyf = num.astype(jnp.float32) / z.astype(jnp.float32)
+    dy = dyf.astype(jnp.int64)
+    # residual D = y^2 - N = (z*dy - e_z*2^25)*2^27 + dy^2 (all int64)
+    A = z * dy - num
+    D = (A << jnp.int64(27)) + dy * dy
+    y = (z << jnp.int64(26)) + dy
+    for _ in range(16):                             # exact floor on y
+        too_big = D > 0
+        D = jnp.where(too_big, D - 2 * y + 1, D)
+        y = jnp.where(too_big, y - 1, y)
+    for _ in range(16):
+        Dn = D + 2 * y + 1
+        low = Dn <= 0
+        D = jnp.where(low, Dn, D)
+        y = jnp.where(low, y + 1, y)
+    # RNE: frac > 0.5  <=>  N - y^2 > y  <=>  -D > y (ties impossible)
+    inc = (-D) > y
+    kept = _u(y) + inc.astype(jnp.uint64)
+    carry = kept == jnp.uint64(1 << 53)
+    kept = jnp.where(carry, jnp.uint64(1 << 52), kept)
+    eo = (E2 >> 1) - 26 + 1075 + carry.astype(jnp.int64)
+    out = _pack(jnp.uint64(0) * kept, _u(eo), kept)
+    return jnp.where(iszero, _zero(jnp.uint64(0)), out)
+
+
+def f64_ord(bits):
+    """Monotone map f64 bits -> SIGNED int64 total order (-inf..+inf
+    ascending under ordinary int64 comparison): non-negative floats map
+    to their own bits (in [0, 2^63)), negatives to ~bits with the top
+    bit flipped (in [-2^63, -1]). -0 orders one below +0 — callers
+    treating them as equal must canonicalize."""
+    u = _u(bits)
+    neg = (u >> jnp.uint64(63)) != 0
+    return jnp.where(neg, _i(~u ^ jnp.uint64(1 << 63)), _i(u))
+
+
 def f32_div_int(num, den):
     """Correctly-rounded float32 quotient of two integers, as f32 values.
 

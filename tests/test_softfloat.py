@@ -123,3 +123,32 @@ def test_f32_div_int_exhaustive():
     got = _run(sf.f32_div_int, num, den)
     want = (num.astype(np.float32) / den.astype(np.float32))
     np.testing.assert_array_equal(got.view(np.int32), want.view(np.int32))
+
+
+def test_f64_sqrt_correctly_rounded():
+    """f64_sqrt vs numpy/IEEE sqrt (correctly rounded by spec), over wide
+    magnitudes, mantissa boundaries and zero."""
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([
+        rng.random(20000) * np.exp2(rng.integers(-900, 900, 20000)
+                                    .astype(np.float64)),
+        (1.0 + rng.random(10000)) * rng.choice([1.0, 2.0], 10000),
+        np.array([0.0, 1.0, 2.0, 4.0, 0.25, 1e308, 1e-300]),
+        np.nextafter(np.float64(4.0), 0.0)[None][0:1],
+    ])
+    got = _run(sf.f64_sqrt, _bits(vals)).view(np.float64)
+    want = np.sqrt(vals)
+    np.testing.assert_array_equal(got.view(np.int64), want.view(np.int64))
+
+
+def test_f64_ord_monotone():
+    rng = np.random.default_rng(3)
+    vals = np.sort(np.concatenate([
+        -rng.random(1000) * np.exp2(rng.integers(-300, 300, 1000)
+                                    .astype(np.float64)),
+        rng.random(1000) * np.exp2(rng.integers(-300, 300, 1000)
+                                   .astype(np.float64)),
+        np.array([0.0]),
+    ]))
+    ords = np.asarray(_run(sf.f64_ord, _bits(vals)))
+    assert np.all(np.diff(ords) > 0)
