@@ -316,7 +316,11 @@ def _raster_add_impl(corners_u, corners_v, plane_bits, pvalid, paint_idx,
 # ---------------------------------------------------------------------------
 
 _RASTER_SLAB = 16
-_RASTER_CTILE = 128   # lane width; triangle column spans are ~14 px mean
+_RASTER_CTILE = 128   # lane width; triangle column spans are ~14 px mean.
+#   (32-wide tiles cut key COUNT 2.4x but bought ~nothing: the XLA
+#   raster is reduce/layout-bound, not key-bound, and sub-lane minor
+#   dims pad 4x — measured round 4. The Pallas raster kernel is the
+#   real fix; this XLA form remains the CPU/fallback path.)
 
 
 def slab_select(support: np.ndarray, tri: np.ndarray, W: int, H: int,

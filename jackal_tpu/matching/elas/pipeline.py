@@ -318,8 +318,9 @@ def _chunk_pads(wires):
     Np = _pad_up(max(len(w[0]) for w in wires))
     Tp = _pad_up(max(max(len(w[1]), len(w[3])) for w in wires) + 1)
     # per-tile triangle lists are short (column tiling): a fine ladder
-    # keeps the padded raster tensor ~3x smaller than the 128 ladder did
-    Ts = _pad_up(max(max(w[5].shape[1], w[6].shape[1]) for w in wires), 32)
+    # keeps the padded raster tensor small (pad waste is the dominant
+    # raster cost at 32-column tiles)
+    Ts = _pad_up(max(max(w[5].shape[1], w[6].shape[1]) for w in wires), 16)
     return Np, Tp, Ts
 
 
@@ -471,13 +472,36 @@ def _raster_chunk(flat_dev, CH, Np, Tp, Ts, gh, gw, Db, W, H, gs):
             # is bit-safe and keeps the products out of HBM.
             return adds(s1, muls(s1)), adds(s2, muls(s2))
 
+        def raster_kernel(s1, s2):
+            # TPU production path: the Pallas slab-raster kernel
+            # (ops/pallas/raster_kernel.py) — VMEM winner accumulation,
+            # image-layout output rows, per-tile live-count skip. Same
+            # f32 op sequence (no FMA on the TPU VPU); bit-identical to
+            # rasters_fused (tests/test_device_prior.py).
+            from ...ops.pallas.raster_kernel import (decode_win,
+                                                     pack_table,
+                                                     raster_pallas)
+
+            outs = []
+            for cu, cv, sb, pb, pv, paint, grid, sel in (s1, s2):
+                tab = pack_table(cu, cv, sb, pb, pv, paint, sel,
+                                 CH, S, C, Ts)
+                local = sel.reshape(CH, S, C, Ts) % jnp.int32(Tp)
+                cnt = jnp.sum(local != Tp - 1, axis=-1, dtype=jnp.int32)
+                win = raster_pallas(cnt[:, :, None, :], tab, CH=CH, S=S,
+                                    C=C, Ts=Ts, slab=_RASTER_SLAB, W=W,
+                                    H=H, CT=_RASTER_CTILE)
+                outs.append(decode_win(win))
+            return tuple(outs)
+
         _RASTER_JITS[key] = (jax.jit(coeffs), jax.jit(muls),
-                             jax.jit(rasters), jax.jit(rasters_fused))
-    coeff_jit, mul_jit, add_jit, fused_jit = _RASTER_JITS[key]
+                             jax.jit(rasters), jax.jit(rasters_fused),
+                             jax.jit(raster_kernel))
+    coeff_jit, mul_jit, add_jit, fused_jit, kernel_jit = _RASTER_JITS[key]
     with jax.enable_x64(True):
         s1, s2 = coeff_jit(flat_dev)
     if jax.default_backend() == "tpu":
-        m1, m2 = fused_jit(s1, s2)
+        m1, m2 = kernel_jit(s1, s2)
     else:
         m1, m2 = add_jit(s1, s2, mul_jit(s1), mul_jit(s2))
     return m1, m2, s1[6], s2[6]
