@@ -519,7 +519,7 @@ def _corner_sort_dev(tu, tv):
     return jnp.stack(cu, 1), jnp.stack(cv, 1)
 
 
-def _tri_coeffs_impl(support, tri, right: bool):
+def _tri_coeffs_impl(support, tri, right):
     """Device twin of prior_coeff_wire minus the host fit: support [N, 3]
     i32, tri [T, 3] i32 -> (corners_u [T,3] i32, corners_v [T,2] i32,
     slope_bits [T,3] i32, plane_bits [T,3] i32, pvalid [T] bool).
@@ -527,7 +527,12 @@ def _tri_coeffs_impl(support, tri, right: bool):
     Slopes are correctly-rounded f32 quotients of integer differences
     (softfloat.f32_div_int == x86 divss); the plane fit is the softfloat
     f64 Gauss-Jordan (device_fit). Trace under jax.enable_x64(True).
-    """
+
+    `right` may be a bool OR a per-row bool array [T]: the pipeline
+    concatenates BOTH sides' triangle lists into one call — the softfloat
+    fit and slope chains are ~100 tiny [T]-shaped int ops each, so at
+    T ~ 14k the per-op dispatch overhead dominates and one double-width
+    call halves it (measured round 4)."""
     import jax
     import jax.numpy as jnp
     from ...ops import softfloat as sf
@@ -536,7 +541,10 @@ def _tri_coeffs_impl(support, tri, right: bool):
     u = support[tri, 0]
     v = support[tri, 1]
     d = support[tri, 2]
-    tu = (u - d) if right else u
+    if isinstance(right, bool):
+        tu = (u - d) if right else u
+    else:
+        tu = jnp.where(right[:, None], u - d, u)
     tu, tv = _corner_sort_dev(tu.astype(jnp.int32), v.astype(jnp.int32))
     A_u, B_u, C_u = tu[:, 0], tu[:, 1], tu[:, 2]
     A_v, B_v = tv[:, 0], tv[:, 1]
@@ -550,12 +558,14 @@ def _tri_coeffs_impl(support, tri, right: bool):
     BC_a = slope(B_v - tv[:, 2], B_u - C_u)
 
     planes = _fit_planes_impl(support, tri)          # [T, 6] f32
-    if right:
-        pa, pb, pc, pother = (planes[:, 3], planes[:, 4], planes[:, 5],
-                              planes[:, 0])
+    if isinstance(right, bool):
+        sel_r = jnp.bool_(right)
     else:
-        pa, pb, pc, pother = (planes[:, 0], planes[:, 1], planes[:, 2],
-                              planes[:, 3])
+        sel_r = right
+    pa = jnp.where(sel_r, planes[:, 3], planes[:, 0])
+    pb = jnp.where(sel_r, planes[:, 4], planes[:, 1])
+    pc = jnp.where(sel_r, planes[:, 5], planes[:, 2])
+    pother = jnp.where(sel_r, planes[:, 0], planes[:, 3])
     pvalid = (jnp.abs(pa) < 0.7) & (jnp.abs(pother) < 0.7)
     sbits = jax.lax.bitcast_convert_type(
         jnp.stack([AC_a, AB_a, BC_a], 1), jnp.int32)
@@ -566,11 +576,12 @@ def _tri_coeffs_impl(support, tri, right: bool):
     return corners_u, corners_v, sbits, pbits, pvalid
 
 
-def _grid_impl(support, right: bool, *, gs, gh, gw, disp_max):
+def _grid_impl(support, right, *, gs, gh, gw, disp_max):
     """createGrid (elas.cpp:579-659) on device: candidate marking as ONE
     one-hot matmul (MXU) + d+/-1 shifts + the flat 3x3 OR-diffusion
     including its row-wrap quirk. support [N, 3] i32; padded rows carry
-    d = -1 and are masked out. Returns bool [gh, gw, disp_max+1]."""
+    d = -1 and are masked out. Returns bool [gh, gw, disp_max+1].
+    `right` may be a traced scalar bool (the fused both-sides call)."""
     import jax
     import jax.numpy as jnp
 
@@ -579,7 +590,10 @@ def _grid_impl(support, right: bool, *, gs, gh, gw, disp_max):
     u = support[:, 0].astype(jnp.int32)
     v = support[:, 1].astype(jnp.int32)
     d = support[:, 2].astype(jnp.int32)
-    x = (u - d) // gs if right else u // gs
+    if isinstance(right, bool):
+        x = (u - d) // gs if right else u // gs
+    else:
+        x = jnp.where(right, (u - d) // gs, u // gs)
     y = v // gs
     ok = (x >= 0) & (x < gw) & (y >= 0) & (y < gh) & (d >= 0)
     cell = jnp.clip(y * gw + x, 0, G - 1)

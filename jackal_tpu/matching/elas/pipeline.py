@@ -423,18 +423,34 @@ def _raster_chunk(flat_dev, CH, Np, Tp, Ts, gh, gw, Db, W, H, gs):
                         * Np)[:, None, None]
                 toffs = (jnp.arange(CH, dtype=jnp.int32)
                          * Tp)[:, None, None]
+                # BOTH sides' triangle lists in ONE double-width call:
+                # the softfloat fit / slope chains are ~100 tiny
+                # [T]-shaped ops whose per-op overhead dominates at this
+                # size, so one 2T-wide call halves it
+                K = CH * Tp
+                tri_cat = jnp.concatenate(
+                    [(sides[0][0] + offs).reshape(K, 3),
+                     (sides[1][0] + offs).reshape(K, 3)])
+                rflags = jnp.concatenate(
+                    [jnp.zeros((K,), bool), jnp.ones((K,), bool)])
+                cu2, cv2, sb2, pb2, pv2 = _tri_coeffs_impl(
+                    sp_flat, tri_cat, rflags)
+                # both sides' candidate grids in one 2*CH vmap
+                sp2 = jnp.concatenate([sp, sp])
+                r2 = jnp.concatenate([jnp.zeros((CH,), bool),
+                                      jnp.ones((CH,), bool)])
+                grid2 = jax.vmap(partial(
+                    _grid_impl, gs=gs, gh=gh, gw=gw,
+                    disp_max=Db - 1))(sp2, r2)
                 out = []
-                for (tri, paint, sel), right in zip(sides, (False, True)):
-                    tri_flat = (tri + offs).reshape(CH * Tp, 3)
-                    cu, cv, sb, pb, pv = partial(
-                        _tri_coeffs_impl, right=right)(sp_flat, tri_flat)
-                    grid = jax.vmap(partial(
-                        _grid_impl, right=right, gs=gs, gh=gh, gw=gw,
-                        disp_max=Db - 1))(sp)
+                for i, (tri, paint, sel) in enumerate(sides):
+                    sl = slice(i * K, (i + 1) * K)
                     sel_flat = (sel + toffs).reshape(CH * S * C * Ts)
-                    out.append((cu.astype(jnp.int16), cv.astype(jnp.int16),
-                                sb, pb, pv, paint.reshape(CH * Tp),
-                                grid, sel_flat))
+                    out.append((cu2[sl].astype(jnp.int16),
+                                cv2[sl].astype(jnp.int16),
+                                sb2[sl], pb2[sl], pv2[sl],
+                                paint.reshape(CH * Tp),
+                                grid2[i * CH:(i + 1) * CH], sel_flat))
                 return tuple(out)
 
         def _tile0():
