@@ -73,7 +73,7 @@ def bench_table(m):
     ]
     if "bm_rmse_vs_libelas_px" in m:
         rows.append((
-            "BM-64 / SGM RMSE vs libelas (photographic pair)",
+            "BM-64 / SGM RMSE vs libelas (pooled boxes+photo)",
             f"{m['bm_rmse_vs_libelas_px']:.1f} / "
             f"{m['sgm_rmse_vs_libelas_px']:.1f} px — only ELAS meets the "
             f"0.5 px clause", "docs/results.md"))
