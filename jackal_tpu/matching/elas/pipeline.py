@@ -512,8 +512,9 @@ def _raster_chunk(flat_dev, CH, Np, Tp, Ts, gh, gw, Db, W, H, gs):
 
         _RASTER_JITS[key] = (jax.jit(coeffs), jax.jit(muls),
                              jax.jit(rasters), jax.jit(rasters_fused),
-                             jax.jit(raster_kernel))
-    coeff_jit, mul_jit, add_jit, fused_jit, kernel_jit = _RASTER_JITS[key]
+                             jax.jit(raster_kernel), raster_kernel)
+    (coeff_jit, mul_jit, add_jit, fused_jit, kernel_jit,
+     kernel_fn) = _RASTER_JITS[key]
     with jax.enable_x64(True):
         s1, s2 = coeff_jit(flat_dev)
     if jax.default_backend() == "tpu":
@@ -521,6 +522,41 @@ def _raster_chunk(flat_dev, CH, Np, Tp, Ts, gh, gw, Db, W, H, gs):
     else:
         m1, m2 = add_jit(s1, s2, mul_jit(s1), mul_jit(s2))
     return m1, m2, s1[6], s2[6]
+
+
+_TAIL_JITS = {}
+
+
+def _raster_dense_post(flat_dev, d1c, d2c, CH, Np, Tp, Ts, gh, gw, Db,
+                       W, H, gs, st: "_Static"):
+    """One chunk's full device tail. TPU: TWO dispatches — coeffs+grids
+    (x64 softfloat) and ONE fused executable running the Pallas raster
+    kernel + dense matching + the whole postprocess (saves a dispatch
+    round trip per chunk on the tunnel-attached rig). CPU keeps the
+    three-dispatch form: the slab raster's mul/add split must stay in
+    separate executables there to forbid FMA contraction."""
+    import jax
+
+    key = (CH, Np, Tp, Ts, gh, gw, Db, W, H, gs)
+    m1, m2 = None, None
+    if key not in _RASTER_JITS:
+        # populate the cache (and handle the CPU path) in one place
+        return None, _raster_chunk(flat_dev, CH, Np, Tp, Ts, gh, gw, Db,
+                                   W, H, gs)
+    if jax.default_backend() != "tpu":
+        return None, _raster_chunk(flat_dev, CH, Np, Tp, Ts, gh, gw, Db,
+                                   W, H, gs)
+    coeff_jit = _RASTER_JITS[key][0]
+    kernel_fn = _RASTER_JITS[key][5]
+    with jax.enable_x64(True):
+        s1, s2 = coeff_jit(flat_dev)
+    tkey = key + (st,)
+    if tkey not in _TAIL_JITS:
+        def tail(d1, d2, s1, s2):
+            m1, m2 = kernel_fn(s1, s2)
+            return _dense_post_impl(d1, d2, *m1, s1[6], *m2, s2[6], st)
+        _TAIL_JITS[tkey] = jax.jit(tail)
+    return _TAIL_JITS[tkey](d1c, d2c, s1, s2), None
 
 
 def elas_match_batch_device(
@@ -585,12 +621,15 @@ def elas_match_batch_device(
                    for c0 in range(0, B, chunk)]
         for c0, uf in zip(range(0, B, chunk), up_futs):
             flat, Np, Tp, Ts, lad = uf.result()
-            m1, m2, g1, g2 = _raster_chunk(flat, chunk, Np, Tp, Ts, gh, gw,
-                                           Db, W, H, gs)
             sl = slice(c0, c0 + chunk)
             st = dataclasses.replace(static, lr_smax=lad)
-            outs.append(
-                _dense_post(d1[sl], d2[sl], *m1, g1, *m2, g2, st))
+            fused, fallback = _raster_dense_post(
+                flat, d1[sl], d2[sl], chunk, Np, Tp, Ts, gh, gw, Db,
+                W, H, gs, st)
+            if fused is None:
+                m1, m2, g1, g2 = fallback
+                fused = _dense_post(d1[sl], d2[sl], *m1, g1, *m2, g2, st)
+            outs.append(fused)
 
     if len(outs) == 1:
         return outs[0]
@@ -677,12 +716,16 @@ def elas_match_stream(
             Db = params.disp_max + 1
             outs = []
             for flat, Np, Tp, Ts, c0, lad in chunks:
-                m1, m2, g1, g2 = _raster_chunk(
-                    flat, chunkB, Np, Tp, Ts, gh, gw, Db, W, H, gs)
                 sl = slice(c0, c0 + chunkB)
                 st = dataclasses.replace(static, lr_smax=lad)
-                outs.append(
-                    _dense_post(d1[sl], d2[sl], *m1, g1, *m2, g2, st))
+                fused, fallback = _raster_dense_post(
+                    flat, d1[sl], d2[sl], chunkB, Np, Tp, Ts, gh, gw,
+                    Db, W, H, gs, st)
+                if fused is None:
+                    m1, m2, g1, g2 = fallback
+                    fused = _dense_post(d1[sl], d2[sl], *m1, g1,
+                                        *m2, g2, st)
+                outs.append(fused)
             if len(outs) == 1:
                 yield outs[0]
             else:
@@ -790,14 +833,17 @@ def elas_match_batch_multichip(
             for c0 in range(0, Bs, chunk) for i in range(n)]
         for i, uf in up_futs:
             flat, Np, Tp, Ts, lad = uf.result()
-            m1, m2, g1, g2 = _raster_chunk(flat, chunk, Np, Tp, Ts, gh, gw,
-                                           Db, W, H, gs)
             d1, d2, _ = fronts[i]
             c0 = (len(outs[i])) * chunk
             sl = slice(c0, c0 + chunk)
             st = dataclasses.replace(static, lr_smax=lad)
-            outs[i].append(
-                _dense_post(d1[sl], d2[sl], *m1, g1, *m2, g2, st))
+            fused, fallback = _raster_dense_post(
+                flat, d1[sl], d2[sl], chunk, Np, Tp, Ts, gh, gw, Db,
+                W, H, gs, st)
+            if fused is None:
+                m1, m2, g1, g2 = fallback
+                fused = _dense_post(d1[sl], d2[sl], *m1, g1, *m2, g2, st)
+            outs[i].append(fused)
 
     D1 = np.concatenate([np.asarray(o[0]) for dev in outs for o in dev])
     D2 = np.concatenate([np.asarray(o[1]) for dev in outs for o in dev])

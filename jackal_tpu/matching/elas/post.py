@@ -169,8 +169,11 @@ def _connected_component_labels(
         return changed
 
     def body(state):
+        # TWO sweeps per convergence check: the any() compare is a full
+        # extra pass plus a loop-carry sync, and sweeps past the fixed
+        # point are idempotent, so halving the checks is bit-free
         lbl, _ = state
-        new = sweep(lbl)
+        new = sweep(sweep(lbl))
         return new, jnp.any(new != lbl)
 
     lbl, _ = jax.lax.while_loop(cond, body, (idx, jnp.bool_(True)))
