@@ -503,10 +503,28 @@ def _adaptive_pass(src: jnp.ndarray, axis: int) -> Tuple[jnp.ndarray, jnp.ndarra
         wsum = jnp.where(m == mm, wv, wsum)
         fsum = jnp.where(m == mm, fv, fsum)
 
-    d = fsum / jnp.where(wsum > 0, wsum, 1.0)
+    d = _exact_weight_div(fsum, wsum)
     ok = (wsum > 0) & (d >= 0)
     res = jnp.where(ok, d, x)
     return (res if axis == 1 else res.T), (ok if axis == 1 else ok.T)
+
+
+def _exact_weight_div(fsum: jnp.ndarray, wsum: jnp.ndarray) -> jnp.ndarray:
+    """fsum / wsum with x86-divss rounding on every backend. The weights
+    of the reference's broken abs-mask bilateral are EXACTLY {0, 2, 4}
+    (masked values are pure powers of two; 4 - 2^-97 rounds back to 4),
+    so wsum is a small even integer: on TPU — whose native f32 divide is
+    2 ulp off — the correctly-rounded quotient comes from exact integer
+    division by the weight sum (softfloat.f32_div_small_int), retiring
+    the last non-bit-exact op in the postprocess tail. XLA:CPU's fdiv is
+    already correctly rounded (hardware divss)."""
+    import jax
+
+    den = jnp.where(wsum > 0, wsum, 1.0)
+    if jax.default_backend() == "tpu":
+        from ...ops.softfloat import f32_div_small_int
+        return f32_div_small_int(fsum, den.astype(jnp.int32))
+    return fsum / den
 
 
 def _adaptive_pass4(src: jnp.ndarray, axis: int):
@@ -535,7 +553,7 @@ def _adaptive_pass4(src: jnp.ndarray, axis: int):
         wsum = jnp.where(m == mm, wv, wsum)
         fsum = jnp.where(m == mm, fv, fsum)
 
-    d = fsum / jnp.where(wsum > 0, wsum, 1.0)
+    d = _exact_weight_div(fsum, wsum)
     ok = (wsum > 0) & (d >= 0)
     res = jnp.where(ok, d, x)
     return (res if axis == 1 else res.T), (ok if axis == 1 else ok.T)

@@ -369,6 +369,99 @@ def f64_ord(bits):
     return jnp.where(neg, _i(~u ^ jnp.uint64(1 << 63)), _i(u))
 
 
+def f32_div_small_int(num_f32, den_i32):
+    """Correctly-rounded float32 num / den for INTEGER den with odd part
+    <= 15 (den in {1..32} covers the adaptive-mean weight sums, whose
+    weights are exactly {0, 2, 4} — a consequence of the reference's
+    broken SSE abs-mask, see post._ref_absmask). Matches x86 divss
+    bit-for-bit; the TPU's native f32 divide is 2 ulp off, and this
+    division is the LAST non-bit-exact op in the ELAS postprocess tail.
+
+    Pure int32 lane ops (usable outside x64 tracing): the quotient
+    mantissa is an exact integer division of the (normalized, shifted)
+    numerator mantissa by the divisor's odd part — selected from the 8
+    possible odd constants so XLA lowers each to a multiply-shift, never
+    a variable integer division (bit-serial on TPU). Handles subnormal
+    numerators and subnormal results; den must be >= 1.
+    """
+    b = jax.lax.bitcast_convert_type(
+        jnp.asarray(num_f32, jnp.float32), jnp.int32)
+    den = jnp.asarray(den_i32, jnp.int32)
+    sign = b & jnp.int32(-0x80000000)
+    e = (b >> 23) & 0xFF
+    frac = b & 0x7FFFFF
+    iszero = (b & 0x7FFFFFFF) == 0
+    # normalize (subnormals: implicit bit absent, exponent acts as 1)
+    m = jnp.where(e == 0, frac, frac | (1 << 23))
+    e_eff = jnp.where(e == 0, 1, e)
+    for k in (16, 8, 4, 2, 1):
+        c = (e == 0) & (m < (1 << (24 - k)))
+        m = jnp.where(c, m << k, m)
+        e_eff = e_eff - k * c.astype(jnp.int32)
+
+    # den = c_odd << kz
+    low = den & -den
+    kz = jnp.int32(0)
+    for k in (5, 4, 3, 2, 1):
+        c = (low >> k) != 0
+        kz = kz + k * c.astype(jnp.int32)
+        low = jnp.where(c, low >> k, low)
+    c_odd = den >> kz                       # in {1, 3, 5, ..., 15}
+
+    # q = floor(m << (B + 1) / c_odd) in [2^24, 2^26), B = bitlen(c_odd)
+    q = jnp.zeros_like(m)
+    r = jnp.zeros_like(m)
+    for cc in (1, 3, 5, 7, 9, 11, 13, 15):
+        Bb = cc.bit_length()
+        ni = m << (Bb + 1)                  # <= 2^24 << 5 < 2^31
+        qq = ni // cc                       # constant divisor: mul-shift
+        sel = c_odd == cc
+        q = jnp.where(sel, qq, q)
+        r = jnp.where(sel, ni - qq * cc, r)
+    Bl = jnp.zeros_like(m)
+    for cc in (3, 5, 9):                    # bitlen thresholds 2, 3, 4
+        Bl = Bl + (c_odd >= cc).astype(jnp.int32)
+    Bl = Bl + 1                             # bitlen(c_odd)
+
+    hi = q >= (1 << 25)
+    kept = jnp.where(hi, q >> 2, q >> 1)
+    rnd = jnp.where(hi, (q >> 1) & 1, q & 1).astype(bool)
+    sticky = jnp.where(hi, (q & 1) != 0, False) | (r != 0)
+    eo = e_eff - kz - Bl + hi.astype(jnp.int32)
+    # subnormal output: shift mantissa right before rounding
+    extra = jnp.maximum(1 - eo, 0)
+    extra_c = jnp.minimum(extra, 31)
+    lost = (kept & ((jnp.int32(1) << extra_c) - 1)) != 0
+    kshift = kept >> extra_c
+    sticky = sticky | jnp.where(extra > 0, rnd | lost, False)
+    rnd = jnp.where(extra > 0,
+                    ((kept >> jnp.maximum(extra_c - 1, 0)) & 1) != 0,
+                    rnd)
+    # recompute lost/rnd consistently for the subnormal path: round bit is
+    # the last bit shifted out, sticky collects everything below it
+    rb_pos = jnp.maximum(extra_c - 1, 0)
+    rnd_sub = ((kept >> rb_pos) & 1) != 0
+    lost_below = (kept & ((jnp.int32(1) << rb_pos) - 1)) != 0
+    rnd = jnp.where(extra > 0, rnd_sub, rnd)
+    sticky = jnp.where(extra > 0,
+                       jnp.where(extra_c > 0, lost_below, False)
+                       | jnp.where(hi, (q & 1) != 0, False) | (r != 0),
+                       sticky)
+    kept = jnp.where(extra > 0, kshift, kept)
+    eo = jnp.where(extra > 0, 0, eo)
+
+    inc = rnd & (sticky | ((kept & 1) == 1))
+    kept = kept + inc.astype(jnp.int32)
+    carry = kept == (1 << 24)
+    kept = jnp.where(carry, jnp.int32(1 << 23), kept)
+    eo = eo + carry.astype(jnp.int32)
+    norm = (kept & (1 << 23)) != 0
+    out = sign | jnp.where(norm, (eo << 23) | (kept & 0x7FFFFF),
+                           kept)            # subnormal: eo == 0 field
+    out = jnp.where(iszero, sign, out)
+    return jax.lax.bitcast_convert_type(out, jnp.float32)
+
+
 def f32_div_int(num, den):
     """Correctly-rounded float32 quotient of two integers, as f32 values.
 

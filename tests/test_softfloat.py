@@ -152,3 +152,45 @@ def test_f64_ord_monotone():
     ]))
     ords = np.asarray(_run(sf.f64_ord, _bits(vals)))
     assert np.all(np.diff(ords) > 0)
+
+
+def test_f32_div_small_int_correctly_rounded():
+    """The adaptive-mean weight-sum division: CR f32 quotients for all
+    divisors with odd part <= 15, across magnitudes incl. subnormal
+    numerators and subnormal results. (Double rounding through the f64
+    reference is safe here: quotients a/c with odd c <= 15 are never
+    within 2^-29 relative of an f32 rounding midpoint unless exactly
+    representable.)"""
+    rng = np.random.default_rng(5)
+    nums = np.concatenate([
+        rng.standard_normal(100000).astype(np.float32) * rng.choice(
+            [1e-38, 1e-30, 1e-6, 1.0, 1e4, 1e30],
+            100000).astype(np.float32),
+        np.array([0.0, -0.0, 1e-45, -1e-45, 3.4e38, -3.4e38], np.float32),
+    ])
+    dens = rng.choice(
+        [1, 2, 3, 4, 6, 8, 10, 12, 14, 16, 18, 20, 24, 28, 30, 32],
+        len(nums)).astype(np.int32)
+    with jax.enable_x64(False):
+        got = np.asarray(jax.jit(sf.f32_div_small_int)(
+            jnp.asarray(nums), jnp.asarray(dens)))
+    want = (nums.astype(np.float64) / dens).astype(np.float32)
+    np.testing.assert_array_equal(got.view(np.int32), want.view(np.int32))
+
+
+def test_adaptive_mean_weights_are_0_2_4():
+    """The premise of the exact weight division: the broken abs-mask
+    yields weights in exactly {0, 2, 4} for every float input."""
+    from jackal_tpu.matching.elas.post import _ref_absmask
+
+    rng = np.random.default_rng(2)
+    x = np.concatenate([
+        rng.standard_normal(200000).astype(np.float32) * rng.choice(
+            [1e-30, 1e-8, 1.0, 100.0, 1e30], 200000).astype(np.float32),
+        rng.integers(-(2 ** 31), 2 ** 31 - 1, 200000)
+        .astype(np.int32).view(np.float32),
+        np.array([0.0, -0.0], np.float32),
+    ])
+    x = x[np.isfinite(x)]
+    w = np.asarray(jnp.maximum(0.0, 4.0 - _ref_absmask(jnp.asarray(x))))
+    assert set(np.unique(w)) <= {0.0, 2.0, 4.0}
