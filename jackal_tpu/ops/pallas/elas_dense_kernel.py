@@ -71,11 +71,22 @@ def _elas_dense_kernel(live_ref, q_ref, t_hbm, dplane_ref, pvalid_ref,
         # rolled-target formulation: unaligned lane-offset reads of the u8
         # scratch materialize a realignment buffer PER READ (4096 of them
         # blew the VMEM stack); instead keep the shifted target as
-        # loop-carried registers rolled one column per d (circular wrap
-        # lands only in the warp_ok-masked region). One dynamic roll
-        # re-bases each register at the chunk's d0; the per-d shifts stay
-        # static rolls-by-one.
+        # loop-carried registers rolled one column per macro-step
+        # (circular wrap lands only in the warp_ok-masked region). One
+        # dynamic roll re-bases each register at the chunk's d0.
+        # Roll elision (q-pairing, see support_kernel._support_kernel):
+        # cost_{d+j}(c) = roll(SAD(q_j, t_d), j*dir) with q_j the query
+        # pre-rolled by -j*dir, so one t alignment serves M consecutive
+        # disparities and the 32-channel t roll runs once per M steps;
+        # the realignment is ONE roll of the summed SAD per d. M=2 keeps
+        # the extra query registers inside the ~16 MB VMEM budget at
+        # TH=40 (each M adds C=32 [TH,W] i32 planes = 3.2 MB).
+        M = 2
         roll_dir = W - 1 if right_image else 1
+        qj = [q_planes]
+        for _ in range(1, M):
+            qj.append([pltpu.roll(x, (W - roll_dir) % W, 1)
+                       for x in qj[-1]])
         t_roll = [pltpu.roll(t_scr[c].astype(jnp.int32),
                              (d0 * roll_dir) % W, 1) for c in range(C)]
         d_plane = dplane_ref[0].astype(jnp.int32)   # [TH, W] (i16 wire)
@@ -90,11 +101,14 @@ def _elas_dense_kernel(live_ref, q_ref, t_hbm, dplane_ref, pvalid_ref,
         sign = 1 if right_image else -1
         for i_d in range(DCH):
             d = d0 + i_d                            # dynamic scalar
-            cost = jnp.zeros((TH, W), jnp.int32)
+            j = i_d % M
+            s = jnp.zeros((TH, W), jnp.int32)
             for c in range(C):
-                diff = q_planes[c] - t_roll[c]
-                cost = cost + jnp.maximum(diff, -diff)
-            t_roll = [pltpu.roll(t, roll_dir, 1) for t in t_roll]
+                s = s + jnp.abs(qj[j][c] - t_roll[c])
+            cost = pltpu.roll(s, (j * roll_dir) % W, 1) if j else s
+            if j == M - 1:
+                t_roll = [pltpu.roll(t, (M * roll_dir) % W, 1)
+                          for t in t_roll]
 
             warp = col + sign * d
             warp_ok = (warp >= _WINDOW) & (warp < W_real - _WINDOW)

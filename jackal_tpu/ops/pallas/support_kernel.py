@@ -59,17 +59,30 @@ _GAP = 5          # window(3) + u_step(2): min margin to the image edge
 
 
 def _support_kernel(q_ref, t_ref, l1_ref, l2_ref, r1_ref, r2_ref,
-                    *, D, disp_min, TN, W, W_real, DCH):
+                    *, D, disp_min, TN, W, W_real, DCH, M=4):
     """One row-band x one d-chunk: dual best-two keyed WTA over
-    d in [disp_min + dc*DCH, ...); state accumulates in the out refs."""
+    d in [disp_min + dc*DCH, ...); state accumulates in the out refs.
+
+    Roll elision (q-pairing): the SAD at disparity d+j decomposes as
+      S_{d+j}(c) = sum_ch |q(c) - t(c-d-j)| = R_j(c-j),
+      R_j(u) = sum_ch |q(u+j) - t_d(u)|,
+    so with the j pre-rolled queries q_j = roll(q, -j) (built ONCE per
+    chunk), one t alignment serves M consecutive disparities and the
+    32-channel t roll runs once per M steps instead of every step. The
+    residual roll-by-j of R_j is absorbed into the two cost taps
+    (roll(S, +-2) -> roll(R_j, j +- 2)) at zero extra cost. Circular
+    wrap is identical to the rolled-t form (both are mod-W), so outputs
+    stay bit-exact; rolls were ~30% of the kernel's vector issues."""
     C = q_ref.shape[1]                      # 32 = 16 chans x {v-2, v+2}
     dc = pl.program_id(2)
     d0 = disp_min + dc * DCH                # dynamic chunk base
-    q = [q_ref[0, c].astype(jnp.int32) for c in range(C)]
-    t = [t_ref[0, c].astype(jnp.int32) for c in range(C)]
+    qj = [[q_ref[0, c].astype(jnp.int32) for c in range(C)]]
+    for j in range(1, M):
+        qj.append([pltpu.roll(x, W - 1, 1) for x in qj[-1]])
     # one dynamic roll per channel re-bases the target at this chunk;
-    # every per-d shift below stays a static roll-by-one
-    t = [pltpu.roll(x, d0 % W, 1) for x in t]
+    # every per-macro-step shift below stays a static roll-by-M
+    t = [pltpu.roll(t_ref[0, c].astype(jnp.int32), d0 % W, 1)
+         for c in range(C)]
     col = jax.lax.broadcasted_iota(jnp.int32, (TN, W), 1)
 
     @pl.when(dc == 0)
@@ -83,29 +96,31 @@ def _support_kernel(q_ref, t_ref, l1_ref, l2_ref, r1_ref, r2_ref,
     l1, l2 = l1_ref[0], l2_ref[0]
     r1, r2 = r1_ref[0], r2_ref[0]
 
-    for i in range(DCH):
-        d = d0 + i                          # dynamic scalar
-        s = jnp.zeros((TN, W), jnp.int32)
-        for c in range(C):
-            diff = q[c] - t[c]
-            s = s + jnp.maximum(diff, -diff)
-        t = [pltpu.roll(x, 1, 1) for x in t]
-        # cost(c) = S(c-2) + S(c+2): u_step column taps
-        cost = pltpu.roll(s, 2, 1) + pltpu.roll(s, W - 2, 1)
-        live = d < D                        # partial-final-chunk mask
+    for i0 in range(0, DCH, M):
+        for j in range(min(M, DCH - i0)):
+            d = d0 + i0 + j                 # dynamic scalar
+            s = jnp.zeros((TN, W), jnp.int32)
+            for c in range(C):
+                s = s + jnp.abs(qj[j][c] - t[c])
+            # cost(c) = S(c-2) + S(c+2), S = roll(R_j, j): merged taps
+            cost = (pltpu.roll(s, j + 2, 1)
+                    + pltpu.roll(s, (W + j - 2) % W, 1))
+            live = d < D                    # partial-final-chunk mask
 
-        # left image at column c matches right column c-d: valid c >= d+5
-        key = jnp.where(live & (col >= d + _GAP), cost * 512 + d, _KBIG)
-        l2 = jnp.minimum(l2, jnp.maximum(l1, key))
-        l1 = jnp.minimum(l1, key)
+            # left image at column c matches right column c-d: c >= d+5
+            key = jnp.where(live & (col >= d + _GAP), cost * 512 + d,
+                            _KBIG)
+            l2 = jnp.minimum(l2, jnp.maximum(l1, key))
+            l1 = jnp.minimum(l1, key)
 
-        # right image at column c matches left column c+d:
-        # cost_R(c, d) = cost_L(c+d, d), valid c <= W_real - 5 - d
-        cost_r = pltpu.roll(cost, (W - d) % W, 1)
-        key_r = jnp.where(live & (col <= W_real - _GAP - d),
-                          cost_r * 512 + d, _KBIG)
-        r2 = jnp.minimum(r2, jnp.maximum(r1, key_r))
-        r1 = jnp.minimum(r1, key_r)
+            # right image at column c matches left column c+d:
+            # cost_R(c, d) = cost_L(c+d, d), valid c <= W_real - 5 - d
+            cost_r = pltpu.roll(cost, (W - d) % W, 1)
+            key_r = jnp.where(live & (col <= W_real - _GAP - d),
+                              cost_r * 512 + d, _KBIG)
+            r2 = jnp.minimum(r2, jnp.maximum(r1, key_r))
+            r1 = jnp.minimum(r1, key_r)
+        t = [pltpu.roll(x, M, 1) for x in t]
 
     l1_ref[0] = l1
     l2_ref[0] = l2
