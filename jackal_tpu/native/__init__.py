@@ -33,7 +33,7 @@ def _src_hash() -> str:
 
 def _build(digest: str) -> None:
     subprocess.run(
-        ["g++", "-O2", "-march=native", "-ffp-contract=off", "-shared",
+        ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared",
          "-fPIC", "-o", _SO] + _SRCS,
         check=True, capture_output=True)
     with open(_HASH, "w") as f:

@@ -43,6 +43,40 @@ struct Ctx {
   std::vector<int32_t> nxt;      // onext, per directed edge slot
   std::vector<int32_t> org_;     // origin vertex per slot (-1 for duals)
   std::vector<int32_t> freeq;    // recycled quad ids
+  // packed per-axis comparison keys (see make_keys): one int64 load per
+  // compare instead of two coordinate loads + a tie branch
+  std::vector<int64_t> kless[2], kmin[2], kmax[2];
+  bool small = false;            // |coords| <= kSmall: int64 incircle fits
+
+  static constexpr int64_t kSmall = 8192;  // 192*S^4 < 2^63 headroom
+
+  // key = (A + 2^24) << 26 | encode(B): strictly order-preserving for
+  // (A asc, then B asc/desc) — coords are bounded by +-2^24 at parse,
+  // so A+2^24 < 2^25 and both B encodings stay inside 26 bits.
+  void make_keys(int cfg) {
+    int n = (int)px.size();
+    for (int axis = 0; axis < 2; ++axis) {
+      const int64_t* A = axis ? py.data() : px.data();
+      const int64_t* B = axis ? px.data() : py.data();
+      kless[axis].resize(n);
+      kmin[axis].resize(n);
+      kmax[axis].resize(n);
+      const int64_t OFF = (int64_t)1 << 25;
+      bool asc_less = !(cfg & 1);
+      bool desc_min = (cfg & 2) != 0;   // min_better tie: B desc
+      bool asc_max = (cfg & 4) != 0;    // max_better tie: B asc
+      for (int i = 0; i < n; ++i) {
+        int64_t hi = (A[i] + ((int64_t)1 << 24)) << 26;
+        int64_t basc = hi | (B[i] + OFF);
+        int64_t bdesc = hi | (OFF - B[i]);
+        kless[axis][i] = asc_less ? basc : bdesc;
+        kmin[axis][i] = desc_min ? bdesc : basc;
+        // max_better(a,b) <=> kmax[a] > kmax[b]: A desc primary, so the
+        // encoding keeps A asc and the caller compares with >
+        kmax[axis][i] = asc_max ? bdesc : basc;
+      }
+    }
+  }
 
   static int32_t rot(int32_t e) { return (e & ~3) | ((e + 1) & 3); }
   static int32_t rotinv(int32_t e) { return (e & ~3) | ((e + 3) & 3); }
@@ -109,6 +143,18 @@ struct Ctx {
     int64_t adx = px[a] - px[d], ady = py[a] - py[d];
     int64_t bdx = px[b] - px[d], bdy = py[b] - py[d];
     int64_t cdx = px[c] - px[d], cdy = py[c] - py[d];
+    if (small) {
+      // |coords| <= kSmall = 2^13: lifts <= 2^27, crosses <= 2^27,
+      // 3-term sum <= 192*2^52 < 2^63 — exact in plain int64 (the common
+      // case: ELAS support coordinates are image-sized)
+      int64_t alift = adx * adx + ady * ady;
+      int64_t blift = bdx * bdx + bdy * bdy;
+      int64_t clift = cdx * cdx + cdy * cdy;
+      int64_t det = alift * (bdx * cdy - bdy * cdx) +
+                    blift * (cdx * ady - cdy * adx) +
+                    clift * (adx * bdy - ady * bdx);
+      return det > 0;
+    }
     int128 alift = (int128)adx * adx + (int128)ady * ady;
     int128 blift = (int128)bdx * bdx + (int128)bdy * bdy;
     int128 clift = (int128)cdx * cdx + (int128)cdy * cdy;
@@ -128,22 +174,19 @@ struct Frame {
   const Ctx* c;
   int axis;
   int cfg;  // tie-convention bits, see delaunay_exact_cfg
-  int64_t A(int32_t v) const { return axis ? c->py[v] : c->px[v]; }
-  int64_t B(int32_t v) const { return axis ? c->px[v] : c->py[v]; }
-  // partition order: coords[axis] ascending; tie on coords[1-axis]
+  // all three orders compare ONE precomputed packed key (Ctx::make_keys);
+  // the orders themselves are unchanged from the coordinate forms:
+  //   less:       coords[axis] asc, tie coords[1-axis] asc/desc (cfg&1)
+  //   min_better: coords[axis] asc, tie per cfg&2
+  //   max_better: coords[axis] desc, tie per cfg&4
   bool less(int32_t a, int32_t b) const {
-    if (A(a) != A(b)) return A(a) < A(b);
-    bool asc = !(cfg & 1);
-    return asc ? B(a) < B(b) : B(a) > B(b);
+    return c->kless[axis][a] < c->kless[axis][b];
   }
-  // hull-handle extremes; tie direction on the other coordinate per cfg
   bool min_better(int32_t a, int32_t b) const {
-    if (A(a) != A(b)) return A(a) < A(b);
-    return (cfg & 2) ? B(a) > B(b) : B(a) < B(b);
+    return c->kmin[axis][a] < c->kmin[axis][b];
   }
   bool max_better(int32_t a, int32_t b) const {
-    if (A(a) != A(b)) return A(a) > A(b);
-    return (cfg & 4) ? B(a) < B(b) : B(a) > B(b);
+    return c->kmax[axis][a] > c->kmax[axis][b];
   }
 };
 
@@ -175,9 +218,18 @@ struct DC {
       Frame f0{&c, 0, cfg};
       std::sort(idx, idx + n,
                 [&](int32_t a, int32_t b) { return f0.less(a, b); });
-    } else {
+    } else if (n <= 3) {
       std::sort(idx, idx + n,
                 [&](int32_t a, int32_t b) { return f.less(a, b); });
+    } else {
+      // Internal nodes only need the PARTITION, not the full order: the
+      // comparator is a total order on the deduped points, so
+      // nth_element's halves are exactly the sorted halves (children
+      // re-order their own subsets). Replaces the per-level full sort —
+      // O(n) per level instead of O(n log n), the dominant cost at
+      // support-set sizes.
+      std::nth_element(idx, idx + n / 2, idx + n,
+                       [&](int32_t a, int32_t b) { return f.less(a, b); });
     }
     if (n == 2) {
       int32_t a = c.make_edge();
@@ -289,9 +341,18 @@ extern "C" {
 int delaunay_exact_cfg(const float* points, int n, int32_t* tri_out,
                        int max_tri, int alternate, int cfg) {
   if (n < 3) return 0;
-  Ctx w;
-  std::vector<int64_t> ix(n), iy(n);
-  std::vector<int32_t> order(n);
+  // arena reuse across calls: the triangulator runs per frame per side,
+  // so the working vectors are hot — clear() keeps their capacity
+  static thread_local Ctx w;
+  w.px.clear(); w.py.clear(); w.orig.clear();
+  w.nxt.clear(); w.org_.clear(); w.freeq.clear();
+  // dedup pre-sort on one packed key per point: (x asc, y asc, idx asc)
+  // — ((x+2^24)<<26 | y+2^25) is order-preserving for the coord pair and
+  // equal exactly for duplicates, which the idx payload then orders
+  static thread_local std::vector<std::pair<int64_t, int32_t>> order;
+  order.clear();
+  order.reserve(n);
+  int64_t amax = 0;
   for (int i = 0; i < n; i++) {
     float x = points[2 * i], y = points[2 * i + 1];
     int64_t xi = (int64_t)x, yi = (int64_t)y;
@@ -299,30 +360,29 @@ int delaunay_exact_cfg(const float* points, int n, int32_t* tri_out,
     if (xi < -(1 << 24) || xi > (1 << 24) || yi < -(1 << 24) ||
         yi > (1 << 24))
       return -1;
-    ix[i] = xi;
-    iy[i] = yi;
-    order[i] = i;
+    amax = std::max(amax, std::max(std::abs(xi), std::abs(yi)));
+    order.emplace_back(((xi + ((int64_t)1 << 24)) << 26) |
+                           (yi + ((int64_t)1 << 25)),
+                       i);
   }
-  std::sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
-    if (ix[a] != ix[b]) return ix[a] < ix[b];
-    if (iy[a] != iy[b]) return iy[a] < iy[b];
-    return a < b;
-  });
+  std::sort(order.begin(), order.end());
   for (int i = 0; i < n; i++) {
-    int32_t o = order[i];
-    if (i > 0) {
-      int32_t p = order[i - 1];
-      if (ix[o] == ix[p] && iy[o] == iy[p]) continue;
-    }
-    w.px.push_back(ix[o]);
-    w.py.push_back(iy[o]);
+    if (i > 0 && order[i].first == order[i - 1].first)
+      continue;  // duplicate coords: keep the lowest original index
+    int32_t o = order[i].second;
+    int64_t key = order[i].first;
+    w.px.push_back((key >> 26) - ((int64_t)1 << 24));
+    w.py.push_back((key & (((int64_t)1 << 26) - 1)) - ((int64_t)1 << 25));
     w.orig.push_back(o);
   }
   int m = (int)w.px.size();
   if (m < 3) return 0;
+  w.small = amax <= Ctx::kSmall;
+  w.make_keys(cfg);
   w.nxt.reserve((size_t)m * 12);
   w.org_.reserve((size_t)m * 12);
-  std::vector<int32_t> idx(m);
+  static thread_local std::vector<int32_t> idx;
+  idx.resize(m);
   for (int i = 0; i < m; i++) idx[i] = i;
 
   DC dc{w, alternate != 0, cfg};
