@@ -80,6 +80,10 @@ def load() -> ctypes.CDLL:
             c_i16p, i, c_i32p, i, i, i, i, i, i, i,
             c_i16p, c_i16p, c_i16p]
         lib.tri_wire_and_bin.restype = i
+        c_i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.flatten_chunk_wire.argtypes = [
+            c_i64p, c_i32p, c_i64p, c_i64p, c_i32p, c_i64p, c_i32p,
+            i, i, i, i, i, c_i16p]
         _lib = lib
         return lib
 

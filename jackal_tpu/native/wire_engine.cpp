@@ -113,3 +113,66 @@ extern "C" int tri_wire_and_bin(
   }
   return max_count;
 }
+
+// One chunk's flat device wire in a single pass (twin of
+// pipeline._flatten_chunk_wire's numpy form, which costs ~0.6 ms/frame in
+// small-array overhead on this 1-core host). Layout (all int16, viewed as
+// int32 by the caller; every section length is even):
+//   [CH, Np, 3]  support triples, padded rows (0, 0, -1)
+//   per side:  [CH, Tp, 3] triangles (pad rows 0 0 0 -> support[0] x3),
+//              [CH, Tp]    paint (pad -1)
+//   per side:  [CH, SC, Ts] slab selections (negatives and pads -> Tp-1)
+// Pointer arrays are passed as int64 (ctypes); side-major frame order for
+// tri/paint/sel: side0 frame0..CH-1, then side1.
+extern "C" void flatten_chunk_wire(
+    const int64_t* sp_ptrs, const int32_t* sp_lens,      // [CH]
+    const int64_t* tri_ptrs, const int64_t* paint_ptrs,  // [2*CH]
+    const int32_t* tri_lens,                             // [2*CH]
+    const int64_t* sel_ptrs, const int32_t* sel_ts,      // [2*CH]
+    int CH, int Np, int Tp, int Ts, int SC, int16_t* out) {
+  int16_t* p = out;
+  for (int i = 0; i < CH; ++i) {
+    const int16_t* sp = (const int16_t*)(intptr_t)sp_ptrs[i];
+    int n = sp_lens[i];
+    memcpy(p, sp, (size_t)n * 3 * sizeof(int16_t));
+    int16_t* pad = p + (size_t)n * 3;
+    for (int r = n; r < Np; ++r) {
+      *pad++ = 0;
+      *pad++ = 0;
+      *pad++ = -1;
+    }
+    p += (size_t)Np * 3;
+  }
+  for (int side = 0; side < 2; ++side) {
+    const int64_t* tp = tri_ptrs + side * CH;
+    const int64_t* pp = paint_ptrs + side * CH;
+    const int32_t* tl = tri_lens + side * CH;
+    int16_t* tri_base = p;
+    int16_t* paint_base = p + (size_t)CH * Tp * 3;
+    for (int i = 0; i < CH; ++i) {
+      int t = tl[i];
+      int16_t* td = tri_base + (size_t)i * Tp * 3;
+      memcpy(td, (const int16_t*)(intptr_t)tp[i],
+             (size_t)t * 3 * sizeof(int16_t));
+      memset(td + (size_t)t * 3, 0, (size_t)(Tp - t) * 3 * sizeof(int16_t));
+      int16_t* pd = paint_base + (size_t)i * Tp;
+      memcpy(pd, (const int16_t*)(intptr_t)pp[i], (size_t)t * sizeof(int16_t));
+      for (int r = t; r < Tp; ++r) pd[r] = -1;
+    }
+    p = paint_base + (size_t)CH * Tp;
+  }
+  const int16_t fillv = (int16_t)(Tp - 1);
+  for (int side = 0; side < 2; ++side) {
+    for (int i = 0; i < CH; ++i) {
+      const int16_t* s = (const int16_t*)(intptr_t)sel_ptrs[side * CH + i];
+      int ts = sel_ts[side * CH + i];
+      for (int r = 0; r < SC; ++r) {
+        int16_t* row = p + ((size_t)i * SC + r) * Ts;
+        const int16_t* srow = s + (size_t)r * ts;
+        for (int c = 0; c < ts; ++c) row[c] = srow[c] < 0 ? fillv : srow[c];
+        for (int c = ts; c < Ts; ++c) row[c] = fillv;
+      }
+    }
+    p += (size_t)CH * SC * Ts;
+  }
+}

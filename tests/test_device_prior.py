@@ -268,3 +268,47 @@ def test_native_wire_engine_matches_numpy_twin():
         pts = (np.stack([sp[:, 0] - sp[:, 2], sp[:, 1]], -1)
                if right else sp[:, :2]).astype(np.float32)
         check(sp, delaunay(pts), 640, 480, right)
+
+
+def test_native_flatten_chunk_wire_matches_numpy_twin():
+    """flatten_chunk_wire (native/wire_engine.cpp) vs the numpy flatten,
+    byte-for-byte, on real per-frame wires plus the empty-support
+    bail-out wire (int32 sel dtype, zero triangles)."""
+    pytest.importorskip("jackal_tpu.native")
+    from jackal_tpu.native import available
+    if not available():
+        pytest.skip("native engine unavailable")
+    from jackal_tpu.matching.elas import pipeline as P
+    from jackal_tpu.matching.elas.device_prior import (
+        _RASTER_CTILE, _RASTER_SLAB)
+
+    params = ElasParams()
+    support, W, H = _case_support("elas_golden_s320_boxes.npz")
+
+    def wire_from_support(sp):
+        from jackal_tpu.matching.elas.native_prior import (
+            tri_wire_and_bin_native)
+        sp16 = sp.astype(np.int16)
+        lp = sp[:, :2].astype(np.float32)
+        rp = np.stack([sp[:, 0] - sp[:, 2], sp[:, 1]], -1).astype(np.float32)
+        t1, p1, s1 = tri_wire_and_bin_native(
+            sp16, delaunay(lp), W, H, _RASTER_SLAB, _RASTER_CTILE)
+        t2, p2, s2 = tri_wire_and_bin_native(
+            sp16, delaunay(rp), W, H, _RASTER_SLAB, _RASTER_CTILE,
+            right=True)
+        return (sp16, t1, p1, t2, p2, s1, s2)
+
+    # two real frames with different triangle counts + the bail-out wire
+    w_full = wire_from_support(support)
+    w_half = wire_from_support(support[::2])
+    S = -(-H // _RASTER_SLAB) * -(-W // _RASTER_CTILE)
+    e3 = np.zeros((0, 3), np.int16)
+    e1 = np.zeros((0,), np.int16)
+    es = np.full((S, 1), -1, np.int32)
+    w_empty = (np.zeros((0, 3), np.int16), e3, e1, e3.copy(), e1.copy(),
+               es, es.copy())
+    wires = [w_full, w_half, w_empty, w_full]
+    Np, Tp, Ts = P._chunk_pads(wires)
+    np.testing.assert_array_equal(
+        P._flatten_chunk_wire_native(wires, Np, Tp, Ts),
+        P._flatten_chunk_wire_np(wires, Np, Tp, Ts))
