@@ -184,6 +184,57 @@ def bench_engine_accuracy(jnp):
     return bm_rmse, bm_agree, sgm_rmse, sgm_agree
 
 
+def bench_elas_cli(jnp):
+    """The NODE as the measured path (VERDICT r4 next #2): runs the
+    point_cloud CLI loop itself — StreamingRunner over elas_match_stream
+    with per-frame bus publishing — on an NPZ replay source at 640x480
+    through an identity rectification (zero-distortion calib whose maps
+    are exactly the identity, so the ELAS content matches the fixture
+    scenes). Host-ingest semantics: raw frames upload per batch and every
+    frame's depth map downloads for publishing, so the comparable bench
+    number is elas_e2e_fps_host_ingest (the tunnel's ~50 MB/s host link
+    bounds both; on PCIe hosts both transfers hide under device time).
+    Reported warm (second run; the first compiles)."""
+    import contextlib
+    import io
+    import re as _re
+    import tempfile
+
+    import numpy as np
+    from jackal_tpu.calib import StereoCalibration, save_calibration
+    from jackal_tpu.pipeline.default import default_calibration
+
+    W, H = 640, 480
+    f = 400.0
+    K = np.array([[f, 0, (W - 1) / 2], [0, f, (H - 1) / 2], [0, 0, 1.0]])
+    dc = default_calibration()
+    calib = StereoCalibration(K, K, np.zeros(5), np.zeros(5), np.eye(3),
+                              np.array([-0.094, 0, 0]), XR=dc.XR, XT=dc.XT)
+    zs = [np.load(os.path.join(ROOT, "tests/fixtures", fn))
+          for fn in ("elas_golden_s640_boxes.npz", "elas_golden_photo.npz")]
+    scene = np.arange(32) % len(zs)
+    with tempfile.TemporaryDirectory() as td:
+        yml = os.path.join(td, "ident.yml")
+        npz = os.path.join(td, "replay.npz")
+        save_calibration(yml, calib)
+        np.savez(npz, left=np.stack([zs[s]["left"] for s in scene]),
+                 right=np.stack([zs[s]["right"] for s in scene]))
+        from jackal_tpu.cli.point_cloud import main as cli_main
+
+        def run(n):
+            args = ["--engine", "elas", "--batch", "32", "--size",
+                    f"{W}x{H}", "--source", npz, "--loop", "--frames",
+                    str(n), "-c", yml]
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                cli_main(args)
+            m = _re.search(r"-> ([0-9.]+) fps", buf.getvalue())
+            return float(m.group(1))
+
+        run(64)            # compile + warm
+        return run(320)    # steady state
+
+
 def bench_sgm(jnp, calib):
     from jackal_tpu.config import PipelineParams, SGMParams
     from jackal_tpu.pipeline.frame_pipeline import StereoPipeline
@@ -241,16 +292,27 @@ def main():
     fps = bench_headline(jnp, calib)
     fps64 = bench_headline(jnp, calib, B=64)
     elas_fps, elas_host_fps, elas_rmse, elas_mask = bench_elas(jnp)
+    elas_cli_fps = bench_elas_cli(jnp)
     sgm_fps = bench_sgm(jnp, calib)
     bm256_fps = bench_bm256(jnp, calib)
     bm_rmse, bm_agree, sgm_rmse, sgm_agree = bench_engine_accuracy(jnp)
 
-    print(json.dumps({
+    # composed north-star metric (VERDICT r4 next #4): the fastest engine
+    # configuration that ALSO meets the accuracy clause (RMSE <= 0.5 px vs
+    # libelas). Today that is ELAS (bit-equal); BM-64 at 2.3 px and SGM at
+    # 5 px fail the clause, so the BM headline above tracks raw fused
+    # throughput while this line prices the actual target.
+    composed = elas_fps if elas_rmse <= 0.5 else 0.0
+
+    record = {
         "metric": "stereo_fps_per_chip_640x480_rect_disp_cloud_scan",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 500.0, 3),
         "metrics": [
+            {"metric": "composed_target_fps_rmse_le_0.5px",
+             "value": round(composed, 2), "unit": "frames/s",
+             "vs_baseline": round(composed / 500.0, 3)},
             {"metric": "headline_b64_fps", "value": round(fps64, 2),
              "unit": "frames/s", "vs_baseline": round(fps64 / 500.0, 3)},
             {"metric": "elas_e2e_fps_640x480_d255", "value": round(elas_fps, 2),
@@ -262,6 +324,9 @@ def main():
             {"metric": "elas_e2e_fps_host_ingest",
              "value": round(elas_host_fps, 2), "unit": "frames/s",
              "vs_baseline": round(elas_host_fps / 500.0, 3)},
+            {"metric": "elas_cli_node_fps_host_ingest",
+             "value": round(elas_cli_fps, 2), "unit": "frames/s",
+             "vs_baseline": round(elas_cli_fps / 500.0, 3)},
             {"metric": "bm_rmse_vs_libelas_px", "value": round(bm_rmse, 3),
              "unit": "px", "vs_baseline": round(bm_rmse / 0.5, 3)},
             {"metric": "bm_valid_mask_agreement_vs_libelas",
@@ -277,7 +342,33 @@ def main():
              "value": round(bm256_fps, 2), "unit": "frames/s",
              "vs_baseline": round(bm256_fps / 500.0, 3)},
         ],
-    }))
+    }
+    print(json.dumps(record))
+
+    # keep README's measured numbers in sync with the bench that just ran
+    # (VERDICT r4 weak #4: README rot — regeneration must be hooked to the
+    # END of a round, i.e. to every bench run, not a manual step). Writes
+    # only the repo README; any failure is non-fatal and the JSON line
+    # above is already out. Disable with JACKAL_BENCH_NO_README=1.
+    if not os.environ.get("JACKAL_BENCH_NO_README"):
+        try:
+            import contextlib
+            import io
+            import tempfile
+            sys.path.insert(0, os.path.join(ROOT, "tools"))
+            import update_readme
+            with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                             delete=False) as f:
+                json.dump(record, f)
+                tmp = f.name
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                sys.argv = ["update_readme", "--bench-json", tmp]
+                update_readme.main()
+            os.unlink(tmp)
+            print("README.md regenerated from this run", file=sys.stderr)
+        except Exception as e:  # pragma: no cover - best effort
+            print(f"README regen skipped: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

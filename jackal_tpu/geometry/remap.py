@@ -7,12 +7,51 @@ gather + lerp that XLA fuses with the downstream crop.
 
 Semantics follow cv::remap(INTER_LINEAR, BORDER_CONSTANT(0)): out-of-range
 source coordinates produce 0, partially-out-of-range taps are zero-padded.
-Values agree with OpenCV within its 5-bit fixed-point interpolation
-quantization (|diff| <= 2 intensity levels on uint8).
+Integer images use 15-bit fixed-point interpolation weights
+(sx = rint(2^15 * mapx)) with an exact two-stage lerp in integer-valued
+f32: horizontal blend at scale 2^15 (every product <= 255*2^15 < 2^23 is
+exactly representable), renormalize with round-half-up, then the vertical
+blend the same way. Every f32 operation is exact, so the result is
+bit-stable across batch shapes, fusion decisions and backends. (The
+previous float-fraction lerp was FMA-contraction-sensitive on XLA:CPU:
+the same frame rectified in a [1,...] vs an [8,...] program could differ
+by 1 uint8 level at a rounding boundary, which broke sharded-vs-unsharded
+bit-equality tests downstream.) The 2^-15 coordinate quantization is
+<= 0.004 intensity levels; the one intermediate rounding bounds the
+divergence from cv::remap's float path at <= 2 levels (measured <= 2,
+>1 on <1% of pixels — the same envelope the previous lerp had).
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+_FRAC = 15
+_ONE = float(1 << _FRAC)          # 32768.0
+_HALF = float(1 << (_FRAC - 1))   # 16384.0
+
+
+def _fixed15(mapx: jnp.ndarray, mapy: jnp.ndarray):
+    """Fixed-point coordinate split: rint(2^15*coord) -> (int tap
+    coordinate, integer-valued f32 fractional weights in [0, 2^15))."""
+    sx = jnp.round(mapx * _ONE).astype(jnp.int32)
+    sy = jnp.round(mapy * _ONE).astype(jnp.int32)
+    x0i = sx >> _FRAC
+    y0i = sy >> _FRAC
+    fx = (sx & ((1 << _FRAC) - 1)).astype(jnp.float32)
+    fy = (sy & ((1 << _FRAC) - 1)).astype(jnp.float32)
+    return x0i, y0i, fx, fy
+
+
+def _lerp15(v00, v01, v10, v11, fx, fy):
+    """Exact two-stage fixed-point bilinear (see module docstring):
+    taps in [0, 255], weights integer-valued f32 in [0, 2^15]; every
+    product and sum stays below 2^24, so each stage is exact and the
+    rounding is the deterministic round-half-up regardless of fusion."""
+    wx0 = _ONE - fx
+    h0 = jnp.floor((v00 * wx0 + v01 * fx + _HALF) * (1.0 / _ONE))
+    h1 = jnp.floor((v10 * wx0 + v11 * fx + _HALF) * (1.0 / _ONE))
+    wy0 = _ONE - fy
+    return jnp.floor((h0 * wy0 + h1 * fy + _HALF) * (1.0 / _ONE))
 
 
 def remap_bilinear(img: jnp.ndarray, mapx: jnp.ndarray, mapy: jnp.ndarray
@@ -21,18 +60,24 @@ def remap_bilinear(img: jnp.ndarray, mapx: jnp.ndarray, mapy: jnp.ndarray
 
     img: [H, W] or [H, W, C] (any numeric dtype; computed in f32).
     mapx/mapy: [Ho, Wo] float32 source coordinates.
-    Returns [Ho, Wo(, C)] with img.dtype (rounded like OpenCV for uint8).
+    Returns [Ho, Wo(, C)] with img.dtype (integer dtypes: the exact
+    fixed-point path, see module docstring; floats: true f32 lerp).
     """
     squeeze = img.ndim == 2
     if squeeze:
         img = img[..., None]
     H, W, C = img.shape
-    x0 = jnp.floor(mapx)
-    y0 = jnp.floor(mapy)
-    fx = (mapx - x0)[..., None]
-    fy = (mapy - y0)[..., None]
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
+    integer = jnp.issubdtype(img.dtype, jnp.integer)
+    if integer:
+        x0i, y0i, fxq, fyq = _fixed15(mapx, mapy)
+        fx, fy = fxq[..., None], fyq[..., None]
+    else:
+        x0 = jnp.floor(mapx)
+        y0 = jnp.floor(mapy)
+        fx = (mapx - x0)[..., None]
+        fy = (mapy - y0)[..., None]
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
 
     def tap(yi, xi):
         valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
@@ -45,14 +90,15 @@ def remap_bilinear(img: jnp.ndarray, mapx: jnp.ndarray, mapy: jnp.ndarray
     v01 = tap(y0i, x0i + 1)
     v10 = tap(y0i + 1, x0i)
     v11 = tap(y0i + 1, x0i + 1)
-    out = (
-        v00 * (1 - fx) * (1 - fy)
-        + v01 * fx * (1 - fy)
-        + v10 * (1 - fx) * fy
-        + v11 * fx * fy
-    )
-    if jnp.issubdtype(img.dtype, jnp.integer):
-        out = jnp.round(out)
+    if integer:
+        out = _lerp15(v00, v01, v10, v11, fx, fy)
+    else:
+        out = (
+            v00 * (1 - fx) * (1 - fy)
+            + v01 * fx * (1 - fy)
+            + v10 * (1 - fx) * fy
+            + v11 * fx * fy
+        )
     out = out.astype(img.dtype)
     return out[..., 0] if squeeze else out
 
@@ -87,12 +133,8 @@ def remap_bilinear_batch(imgs: jnp.ndarray, mapx: jnp.ndarray,
             | (pad[1:, :-1] << 16)
             | (pad[1:, 1:] << 24))        # [H+1, W+1, B]
 
-    x0 = jnp.floor(mapx)
-    y0 = jnp.floor(mapy)
-    fx = (mapx - x0)[..., None]
-    fy = (mapy - y0)[..., None]
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
+    x0i, y0i, fxq, fyq = _fixed15(mapx, mapy)
+    fx, fy = fxq[..., None], fyq[..., None]
     valid = ((x0i >= -1) & (x0i <= W - 1)
              & (y0i >= -1) & (y0i <= H - 1))[..., None]
     xi = jnp.clip(x0i + 1, 0, W)
@@ -102,12 +144,7 @@ def remap_bilinear_batch(imgs: jnp.ndarray, mapx: jnp.ndarray,
     v01 = ((g >> 8) & 0xFF).astype(jnp.float32)
     v10 = ((g >> 16) & 0xFF).astype(jnp.float32)
     v11 = ((g >> 24) & 0xFF).astype(jnp.float32)
-    out = (
-        v00 * (1 - fx) * (1 - fy)
-        + v01 * fx * (1 - fy)
-        + v10 * (1 - fx) * fy
-        + v11 * fx * fy
-    )
+    out = _lerp15(v00, v01, v10, v11, fx, fy)
     out = jnp.where(valid, out, 0.0)
-    out = jnp.round(out).astype(jnp.uint8)
+    out = out.astype(jnp.uint8)
     return jnp.moveaxis(out, -1, 0)

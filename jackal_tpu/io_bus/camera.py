@@ -364,10 +364,11 @@ def parse_v4l2_spec(spec: str):
 
 
 def open_source(spec: str, n_synthetic: int = 64,
-                want_color: bool = False):
+                want_color: bool = False, loop: bool = False):
     """Resolve a --source spec to an iterable of (left, right) pairs, or
     (left, right, color_bgr) triples when want_color (gen-pcl mode feeds
-    the left color frame into the cloud RGB channel)."""
+    the left color frame into the cloud RGB channel). loop: replay
+    sources cycle forever (bounded by the caller's frame limit)."""
     from .replay import StereoReplaySource, synthetic_stream
 
     if spec.startswith("synthetic"):
@@ -377,4 +378,4 @@ def open_source(spec: str, n_synthetic: int = 64,
     if spec.startswith("v4l2:"):
         dl, dr, opts = parse_v4l2_spec(spec)
         return V4L2StereoCamera(dl, dr, want_color=want_color, **opts)
-    return StereoReplaySource(spec, want_color=want_color)
+    return StereoReplaySource(spec, want_color=want_color, loop=loop)

@@ -70,6 +70,47 @@ def test_streaming_runner_elas_engine():
     assert done == 2 and len(scans) == 2
 
 
+def test_streaming_runner_elas_uses_stream_scheduler(monkeypatch):
+    """The runner must route ELAS through elas_match_stream — the depth-2
+    scheduler whose throughput the bench measures — so the NODE is the
+    measured path (VERDICT r4 next #2), with per-frame publishing and
+    sampled stage logs intact."""
+    from jackal_tpu.matching.elas import pipeline as elas_pipeline
+    from jackal_tpu.pipeline.runner import TOPIC_TIMELOG
+
+    calls = {"n": 0}
+    real = elas_pipeline.elas_match_stream
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(elas_pipeline, "elas_match_stream", counting)
+    pipe = make_pipeline(None, "elas")
+    bus = TopicBus()
+    depths, scans, tlogs = [], [], []
+    bus.subscribe(TOPIC_DEPTH, depths.append)
+    bus.subscribe(TOPIC_SCAN, scans.append)
+    bus.subscribe(TOPIC_TIMELOG, tlogs.append)
+    runner = StreamingRunner(pipe, bus, batch_size=2,
+                             stage_sample_every=1)
+    rng = np.random.default_rng(5)
+
+    def stream(n):
+        for _ in range(n):
+            yield ((rng.random((360, 640)) * 255).astype(np.uint8),
+                   (rng.random((360, 640)) * 255).astype(np.uint8))
+
+    done = runner.run(stream(3))   # 2 + 1 (padded) batches
+    assert runner.used_elas_stream
+    assert calls["n"] == 1
+    assert done == 3
+    assert len(depths) == 3 and len(scans) == 3
+    assert [d.header.seq for d in depths] == list(range(3))
+    # sampled stage logs: measured (positive) dmap times on every batch
+    assert len(tlogs) == 3 and all(t.dmap_time > 0 for t in tlogs)
+
+
 def test_streaming_runner_logs_real_stage_times(tmp_path):
     """Sampled batches log measured per-stage times; no fabricated zeros."""
     from jackal_tpu.io_bus.timelog import TimeLogWriter

@@ -55,20 +55,25 @@ def bench_table(m):
         return fmt.format(m[key]) if key in m else "n/a"
 
     rows = [
-        ("Fused e2e (rect→BM disparity→**cloud**→scan), 640×480",
+        ("**Composed target** (fastest engine with RMSE ≤0.5 px = ELAS, "
+         "bit-equal), 640×480 e2e",
+         f"**{g('composed_target_fps_rmse_le_0.5px')} fps**",
+         "north star: ≥500 fps AND ≤0.5 px"),
+        ("Fused e2e (rect→disparity→**cloud**→scan), 640×480 — engine "
+         "**BM-64**, fails accuracy clause",
          f"**{g('stereo_fps_per_chip_640x480_rect_disp_cloud_scan')} fps** "
          f"batch 32 / **{g('headline_b64_fps')} fps** batch 64",
          "target ≥500"),
-        ("ELAS disparity vs libelas",
+        ("ELAS disparity vs libelas — **meets accuracy clause**",
          "**bit-equal** (first-party exact Delaunay)", "budget ≤0.5 px"),
         ("ELAS e2e 640×480, streaming batch 32",
          f"**{g('elas_e2e_fps_640x480_d255')} fps**"
          + (f" ({g('elas_e2e_fps_host_ingest')} fps with tunnel-bound host"
             f" ingest)" if "elas_e2e_fps_host_ingest" in m else ""),
          "reference: ~5-10 fps at 320×180 on a NUC CPU"),
-        ("SGM fused 1280×960/64",
+        ("SGM fused 1280×960/64 — fails accuracy clause (5.0 px)",
          f"**{g('sgm_fused_fps_1280x960_d64')} fps**", "—"),
-        ("BM at full D=256 search, 640×480",
+        ("BM at full D=256 search, 640×480 — fails accuracy clause",
          f"**{g('bm_fused_fps_640x480_d256')} fps**", "—"),
     ]
     if "bm_rmse_vs_libelas_px" in m:
