@@ -561,9 +561,10 @@ def _raster_chunk(flat_dev, CH, Np, Tp, Ts, gh, gw, Db, W, H, gs):
 
         _RASTER_JITS[key] = (jax.jit(coeffs), jax.jit(muls),
                              jax.jit(rasters), jax.jit(rasters_fused),
-                             jax.jit(raster_kernel), raster_kernel)
+                             jax.jit(raster_kernel), raster_kernel,
+                             coeffs)
     (coeff_jit, mul_jit, add_jit, fused_jit, kernel_jit,
-     kernel_fn) = _RASTER_JITS[key]
+     kernel_fn) = _RASTER_JITS[key][:6]
     with jax.enable_x64(True):
         s1, s2 = coeff_jit(flat_dev)
     if jax.default_backend() == "tpu":
@@ -578,16 +579,19 @@ _TAIL_JITS = {}
 
 def _raster_dense_post(flat_dev, d1c, d2c, CH, Np, Tp, Ts, gh, gw, Db,
                        W, H, gs, st: "_Static"):
-    """One chunk's full device tail. TPU: TWO dispatches — coeffs+grids
-    (x64 softfloat) and ONE fused executable running the Pallas raster
-    kernel + dense matching + the whole postprocess (saves a dispatch
-    round trip per chunk on the tunnel-attached rig). CPU keeps the
-    three-dispatch form: the slab raster's mul/add split must stay in
-    separate executables there to forbid FMA contraction."""
+    """One chunk's full device tail. TPU: ONE dispatch — coeffs+grids
+    (softfloat, traced under a local x64 scope) + the Pallas raster
+    kernel + dense matching + the whole postprocess in a single
+    executable (each dispatch costs ~1 ms of command-channel time on the
+    tunnel-attached rig, and on any host it is one fewer host->device
+    argument marshal). CPU keeps the three-dispatch form: the slab
+    raster's mul/add split must stay in separate executables there to
+    forbid FMA contraction; the coeff x64 scope exits before the dense
+    trace so the postprocess literals stay 32-bit (bitwise-verified on
+    hardware against the split form, round 5)."""
     import jax
 
     key = (CH, Np, Tp, Ts, gh, gw, Db, W, H, gs)
-    m1, m2 = None, None
     if key not in _RASTER_JITS:
         # populate the cache (and handle the CPU path) in one place
         return None, _raster_chunk(flat_dev, CH, Np, Tp, Ts, gh, gw, Db,
@@ -595,17 +599,24 @@ def _raster_dense_post(flat_dev, d1c, d2c, CH, Np, Tp, Ts, gh, gw, Db,
     if jax.default_backend() != "tpu":
         return None, _raster_chunk(flat_dev, CH, Np, Tp, Ts, gh, gw, Db,
                                    W, H, gs)
-    coeff_jit = _RASTER_JITS[key][0]
+    coeffs_fn = _RASTER_JITS[key][6]
     kernel_fn = _RASTER_JITS[key][5]
-    with jax.enable_x64(True):
-        s1, s2 = coeff_jit(flat_dev)
     tkey = key + (st,)
     if tkey not in _TAIL_JITS:
-        def tail(d1, d2, s1, s2):
-            m1, m2 = kernel_fn(s1, s2)
-            return _dense_post_impl(d1, d2, *m1, s1[6], *m2, s2[6], st)
+        def tail(flat, d1, d2):
+            s1, s2 = coeffs_fn(flat)     # opens its own x64 scope
+            with jax.enable_x64(False):
+                # the raster + dense + post trace must stay 32-bit
+                # (weak literals under x64 would retype the whole chain)
+                m1, m2 = kernel_fn(s1, s2)
+                return _dense_post_impl(d1, d2, *m1, s1[6], *m2, s2[6],
+                                        st)
         _TAIL_JITS[tkey] = jax.jit(tail)
-    return _TAIL_JITS[tkey](d1c, d2c, s1, s2), None
+    # trace AND lower under x64: the softfloat segment's ops (argmax
+    # included) must see the same flag at lowering as at trace time, or
+    # the lowered module fails type verification
+    with jax.enable_x64(True):
+        return _TAIL_JITS[tkey](flat_dev, d1c, d2c), None
 
 
 def elas_match_batch_device(
