@@ -245,6 +245,31 @@ def elas_match(
     return np.asarray(D1), np.asarray(D2)
 
 
+def _content_perm(dcan, B: int, chunk: int):
+    """Frame order for content-homogeneous chunks, plus its inverse.
+
+    Chunk pads (Np/Tp/Ts) and the speckle fixed-point iteration count are
+    per-chunk MAXIMA, so a mixed chunk bills every frame at the most
+    complex frame's cost (a sparse-support frame pays a dense frame's
+    triangle pad ~7x over, and the CC while_loop runs the worst frame's
+    sweep count for the whole chunk). Sorting frames by support-candidate
+    count — the standard serving move, cf. sequence-length bucketing —
+    makes chunks homogeneous; outputs are restored to arrival order with
+    one batch-axis take per side. Bit-free: per-frame results are
+    pad-invariant (padded rows are masked everywhere; the L/R ladder
+    elides provably-dead shifts), asserted by tests/test_elas.py's
+    batch == per-frame suite on shuffled content.
+
+    The key is the candidate count in the downloaded grid (available
+    BEFORE the host priors run); ties keep arrival order (stable sort).
+    """
+    counts = np.asarray([(dcan[b] >= 0).sum() for b in range(B)])
+    perm = np.argsort(counts, kind="stable")
+    inv = np.empty(B, np.int64)
+    inv[perm] = np.arange(B)
+    return perm, inv, bool(np.all(perm == np.arange(B)))
+
+
 def _prior_tri_job(dcan_b, params, W, H, use_native):
     """Host prior for one frame, v3: support collection + the two Delaunay
     triangulations + slab binning ONLY. Everything the old coefficient
@@ -660,6 +685,11 @@ def elas_match_batch_device(
 
     d1, d2, dcan_dev = _front(left, right, static)
     dcan = np.asarray(dcan_dev)          # ~24 KB/frame download
+    perm, inv, perm_id = _content_perm(dcan, B, chunk)
+    if not perm_id:
+        pj = jnp.asarray(perm)
+        d1 = jnp.take(d1, pj, axis=0)
+        d2 = jnp.take(d2, pj, axis=0)
 
     def upload_chunk(prior_futs, c0):
         """Pool job: flatten + upload one chunk's wire as soon as its
@@ -673,7 +703,8 @@ def elas_match_batch_device(
     outs = []
     with ThreadPoolExecutor(max_workers=3) as pool:
         prior_futs = [
-            pool.submit(_prior_tri_job, dcan[b], params, W, H, use_native)
+            pool.submit(_prior_tri_job, dcan[perm[b]], params, W, H,
+                        use_native)
             for b in range(B)]
         # upload jobs are queued AFTER every prior job, so pool workers
         # always have runnable priors ahead of a blocking result() wait
@@ -692,9 +723,14 @@ def elas_match_batch_device(
             outs.append(fused)
 
     if len(outs) == 1:
-        return outs[0]
-    D1 = jnp.concatenate([o[0] for o in outs])
-    D2 = jnp.concatenate([o[1] for o in outs])
+        D1, D2 = outs[0]
+    else:
+        D1 = jnp.concatenate([o[0] for o in outs])
+        D2 = jnp.concatenate([o[1] for o in outs])
+    if not perm_id:
+        ij = jnp.asarray(inv)
+        D1 = jnp.take(D1, ij, axis=0)
+        D2 = jnp.take(D2, ij, axis=0)
     return D1, D2
 
 
@@ -733,10 +769,16 @@ def elas_match_stream(
 
     def prep(fr, B, W, H, chunkB):
         """Worker: download candidate grids (blocks on batch front),
+        order frames into content-homogeneous chunks (_content_perm),
         run the host priors, flatten + upload the chunk wires."""
         d1, d2, dcan_dev = fr
         dcan = np.asarray(dcan_dev)
-        wires = [_prior_tri_job(dcan[b], params, W, H, use_native)
+        perm, inv, perm_id = _content_perm(dcan, B, chunkB)
+        if not perm_id:
+            pj = jnp.asarray(perm)
+            d1 = jnp.take(d1, pj, axis=0)
+            d2 = jnp.take(d2, pj, axis=0)
+        wires = [_prior_tri_job(dcan[perm[b]], params, W, H, use_native)
                  for b in range(B)]
         chunks = []
         for c0 in range(0, B, chunkB):
@@ -745,7 +787,7 @@ def elas_match_stream(
             chunks.append(
                 (jnp.asarray(_flatten_chunk_wire(w, Np, Tp, Ts)),
                  Np, Tp, Ts, c0, _lr_ladder(w, params)))
-        return d1, d2, chunks
+        return d1, d2, chunks, (None if perm_id else jnp.asarray(inv))
 
     with ThreadPoolExecutor(max_workers=depth) as pool:
         pending = deque()
@@ -768,7 +810,7 @@ def elas_match_stream(
             start(nxt)
         while pending:
             fut, chunkB, W, H = pending.popleft()
-            d1, d2, chunks = fut.result()
+            d1, d2, chunks, inv = fut.result()
             nxt = next(it, None)
             if nxt is not None:
                 start(nxt)                          # front(k+depth) first
@@ -787,10 +829,14 @@ def elas_match_stream(
                                         *m2, g2, st)
                 outs.append(fused)
             if len(outs) == 1:
-                yield outs[0]
+                D1o, D2o = outs[0]
             else:
-                yield (jnp.concatenate([o[0] for o in outs]),
-                       jnp.concatenate([o[1] for o in outs]))
+                D1o = jnp.concatenate([o[0] for o in outs])
+                D2o = jnp.concatenate([o[1] for o in outs])
+            if inv is not None:
+                D1o = jnp.take(D1o, inv, axis=0)
+                D2o = jnp.take(D2o, inv, axis=0)
+            yield (D1o, D2o)
 
 
 def elas_match_batch(
@@ -884,9 +930,18 @@ def elas_match_batch_multichip(
     outs = [[] for _ in devices]
     with ThreadPoolExecutor(max_workers=3) as pool:
         dcans = [np.asarray(f[2]) for f in fronts]
+        perms = []
+        for i in range(n):
+            perm, inv, perm_id = _content_perm(dcans[i], Bs, chunk)
+            perms.append((perm, inv, perm_id))
+            if not perm_id:
+                d1, d2, dc = fronts[i]
+                pj = jnp.asarray(perm)
+                fronts[i] = (jnp.take(d1, pj, axis=0),
+                             jnp.take(d2, pj, axis=0), dc)
         prior_futs = [
-            [pool.submit(_prior_tri_job, dcans[i][b], params, W, H,
-                         use_native) for b in range(Bs)]
+            [pool.submit(_prior_tri_job, dcans[i][perms[i][0][b]], params,
+                         W, H, use_native) for b in range(Bs)]
             for i in range(n)]
         up_futs = [
             (i, pool.submit(upload_chunk, prior_futs[i], c0, devices[i]))
@@ -905,6 +960,13 @@ def elas_match_batch_multichip(
                 fused = _dense_post(d1[sl], d2[sl], *m1, g1, *m2, g2, st)
             outs[i].append(fused)
 
-    D1 = np.concatenate([np.asarray(o[0]) for dev in outs for o in dev])
-    D2 = np.concatenate([np.asarray(o[1]) for dev in outs for o in dev])
-    return D1, D2
+    shards1, shards2 = [], []
+    for i, dev in enumerate(outs):
+        s1 = np.concatenate([np.asarray(o[0]) for o in dev])
+        s2 = np.concatenate([np.asarray(o[1]) for o in dev])
+        _, inv, perm_id = perms[i]
+        if not perm_id:
+            s1, s2 = s1[inv], s2[inv]
+        shards1.append(s1)
+        shards2.append(s2)
+    return np.concatenate(shards1), np.concatenate(shards2)

@@ -183,6 +183,36 @@ def test_batch_matches_per_frame_alt_params():
         np.testing.assert_array_equal(B2[b], D2)
 
 
+def test_batch_content_permutation_matches_per_frame():
+    """The content-homogeneous chunk scheduler (_content_perm) reorders
+    interleaved mixed-content frames into sorted chunks and restores
+    arrival order on output; per-frame results must be bit-identical to
+    the unscheduled per-frame path (pad-invariance)."""
+    from jackal_tpu.matching.elas.pipeline import (_content_perm,
+                                                   elas_match,
+                                                   elas_match_batch)
+    g = np.load(f"{FIX}/elas_golden_s320_flat.npz")
+    l0, r0 = g["left"][:96, :160], g["right"][:96, :160]
+    flat = np.full_like(l0, 100)     # textureless: zero candidates
+    lb = np.stack([l0, flat, l0, flat])
+    rb = np.stack([r0, flat, r0, flat])
+    # the scheduler must actually permute this arrangement
+    from jackal_tpu.config import ElasParams
+    from jackal_tpu.matching.elas.pipeline import _front, _Static, _use_pallas
+    import jax.numpy as _jnp
+    fr = _front(_jnp.asarray(lb), _jnp.asarray(rb),
+                _Static(ElasParams(), _use_pallas()))
+    perm, inv, perm_id = _content_perm(np.asarray(fr[2]), 4, 2)
+    assert not perm_id
+    assert np.array_equal(np.sort(perm), np.arange(4))
+    assert np.array_equal(perm[inv], np.arange(4))
+    B1, B2 = elas_match_batch(lb, rb, chunk=2)
+    for b in range(4):
+        D1, D2 = elas_match(lb[b], rb[b])
+        np.testing.assert_array_equal(B1[b], D1)
+        np.testing.assert_array_equal(B2[b], D2)
+
+
 def test_stream_matches_batch():
     """elas_match_stream (pipelined double-buffered scheduling) is
     bit-identical to the one-shot batch path, per batch, in order."""
