@@ -44,51 +44,64 @@ _BIG = _CARRY_BIG
 _VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _group_size(B, D, Wp, n_shift, fuse_add, extra_i16_rows=0):
+def _group_size(B, D, Wp, n_shift, fuse_add, extra_i16_rows=0, rows=1):
     """Frames per grid step: as many as fit the VMEM budget, max 4 (the
     measured point of diminishing returns — step overhead is amortized
-    ~4x while DMA chunks stay small enough to pipeline)."""
-    per = (2 * D * Wp * 2             # ibuf (2 slots, int16)
-           + 2 * max(D, extra_i16_rows) * Wp * 2   # obuf
-           + (2 * D * Wp * 2 if fuse_add else 0)   # abuf
+    ~4x while DMA chunks stay small enough to pipeline). `rows` is the
+    wavefront height (rows per DMA/step)."""
+    per = (2 * rows * D * Wp * 2      # ibuf (2 slots, int16)
+           + 2 * rows * max(D, extra_i16_rows) * Wp * 2   # obuf
+           + (2 * rows * D * Wp * 2 if fuse_add else 0)   # abuf
            + n_shift * D * Wp * 4)    # carries (int32)
     bb = max(1, min(4, B, _VMEM_BUDGET // max(per, 1)))
     return bb
 
 
 def _sgm_dir_kernel(cost_hbm, out_hbm, ibuf, obuf, isem, osem,
-                    *, BB, H, D, W, W_real, p1, p2, shifts, reverse,
+                    *, BB, H, D, W, W_real, p1, p2, shifts, reverse, R=1,
                     abuf=None, asem=None, add_hbm=None):
     """One DP direction over a BB-frame group. Volumes arrive TIME-MAJOR
-    ([T, B, D, W]): the walked axis leads, so a step's whole [BB, D, W]
-    group row is ONE contiguous DMA — with batch-major volumes each
+    ([T, B, D, W]): the walked axis leads, so a step's whole [R, BB, D, W]
+    group slab is ONE contiguous DMA — with batch-major volumes each
     stream needed BB separate copies per step, and the semaphore
     start/waits (~0.4 us each) ate most of what group-batching saved.
     When add_hbm is given, its rows are DMA'd alongside the cost rows and
     added into the written total — fusing the XLA `S_down + S_up` pass
-    (945 MB of traffic per add at 1280x960/64) into the walk."""
+    (945 MB of traffic per add at 1280x960/64) into the walk.
+
+    R is the wavefront height (rows per DMA/loop step, H % R == 0): the
+    recurrence stays strictly sequential — rows inside a slab advance one
+    after the other — but the loop/semaphore overhead (the measured
+    ~2.1x-over-issue-floor gap's largest named term) amortizes R-fold.
+    Row visit order and arithmetic are unchanged, so outputs stay
+    bit-identical for every R."""
     b0 = pl.program_id(0) * BB
     n_shift = len(shifts)
     col = jax.lax.broadcasted_iota(jnp.int32, (BB, D, W), 2)
     padded = W_real < W
     fuse_add = add_hbm is not None
+    NP = H // R
+    # HBM slab index j of the t-th row processed within a pair: forward
+    # pairs walk their rows top-down, reverse pairs bottom-up
+    order = tuple(range(R)) if not reverse else tuple(range(R - 1, -1, -1))
 
-    def row(i):
-        return H - 1 - i if reverse else i
+    def base(k):
+        """First HBM row of pair k in walk order."""
+        return k * R if not reverse else H - R - k * R
 
-    def dma_in(slot, i):
+    def dma_in(slot, k):
         return pltpu.make_async_copy(
-            cost_hbm.at[row(i), pl.ds(b0, BB)], ibuf.at[slot],
+            cost_hbm.at[pl.ds(base(k), R), pl.ds(b0, BB)], ibuf.at[slot],
             isem.at[slot])
 
-    def dma_add(slot, i):
+    def dma_add(slot, k):
         return pltpu.make_async_copy(
-            add_hbm.at[row(i), pl.ds(b0, BB)], abuf.at[slot],
+            add_hbm.at[pl.ds(base(k), R), pl.ds(b0, BB)], abuf.at[slot],
             asem.at[slot])
 
-    def dma_out(slot, i):
+    def dma_out(slot, k):
         return pltpu.make_async_copy(
-            obuf.at[slot], out_hbm.at[row(i), pl.ds(b0, BB)],
+            obuf.at[slot], out_hbm.at[pl.ds(base(k), R), pl.ds(b0, BB)],
             osem.at[slot])
 
     def start(c):
@@ -97,38 +110,8 @@ def _sgm_dir_kernel(cost_hbm, out_hbm, ibuf, obuf, isem, osem,
     def wait(c):
         c.wait()
 
-    # int16 is the STORAGE dtype only (Mosaic's int16 vector ops are
-    # spotty: no reductions, no rotates); every slab upcasts to int32
-    # right after its DMA and all arithmetic is native 32-bit. Values are
-    # wrap-free in both widths (see matching.sgm constants), so this is
-    # bit-equal to the int16-computing jnp engine.
-    start(dma_in(0, 0))
-    if fuse_add:
-        start(dma_add(0, 0))
-    wait(dma_in(0, 0))
-    init = jnp.minimum(ibuf[0].astype(jnp.int32), _BIG)
-    if padded:
-        init = jnp.where(col < W_real, init, _BIG)
-    first = init * n_shift
-    if fuse_add:
-        wait(dma_add(0, 0))
-        first = first + abuf[0].astype(jnp.int32)
-        start(dma_add(1, 1))
-    obuf[0] = jnp.minimum(first, _BIG).astype(jnp.int16)
-    start(dma_out(0, 0))
-    start(dma_in(1, 1))
-
-    def step(i, carries):
-        slot = i % 2
-        wait(dma_in(slot, i))
-        c = ibuf[slot].astype(jnp.int32)
-
-        @pl.when(i + 1 < H)
-        def _():
-            start(dma_in((i + 1) % 2, i + 1))
-            if fuse_add:
-                start(dma_add((i + 1) % 2, i + 1))
-
+    def advance(c, carries):
+        """One row of the DP recurrence: (carries, row total)."""
         total = jnp.zeros((BB, D, W), jnp.int32)
         new_carries = []
         cap = jnp.full((BB, 1, W), _BIG, jnp.int32)
@@ -150,23 +133,69 @@ def _sgm_dir_kernel(cost_hbm, out_hbm, ibuf, obuf, isem, osem,
                 out = jnp.where(col < W_real, out, _BIG)
             new_carries.append(out)
             total = total + out
+        return tuple(new_carries), total
 
-        if fuse_add:
-            wait(dma_add(slot, i))
-            total = total + abuf[slot].astype(jnp.int32)
+    # int16 is the STORAGE dtype only (Mosaic's int16 vector ops are
+    # spotty: no reductions, no rotates); every slab upcasts to int32
+    # right after its DMA and all arithmetic is native 32-bit. Values are
+    # wrap-free in both widths (see matching.sgm constants), so this is
+    # bit-equal to the int16-computing jnp engine.
 
-        # output slot reuse: the DMA issued 2 rows ago must have retired
-        @pl.when(i >= 2)
-        def _():
-            wait(dma_out(slot, i - 2))
-        obuf[slot] = jnp.minimum(total, _BIG).astype(jnp.int16)
-        start(dma_out(slot, i))
-        return tuple(new_carries)
-
+    # peeled pair 0: the first row is the init row, the rest regular
+    start(dma_in(0, 0))
+    if fuse_add:
+        start(dma_add(0, 0))
+    wait(dma_in(0, 0))
+    init = jnp.minimum(ibuf[0, order[0]].astype(jnp.int32), _BIG)
+    if padded:
+        init = jnp.where(col < W_real, init, _BIG)
+    first = init * n_shift
+    if fuse_add:
+        wait(dma_add(0, 0))
+        first = first + abuf[0, order[0]].astype(jnp.int32)
+        if NP > 1:
+            start(dma_add(1, 1))
+    obuf[0, order[0]] = jnp.minimum(first, _BIG).astype(jnp.int16)
     carries = (init,) * n_shift
-    carries = jax.lax.fori_loop(1, H, step, carries)
-    wait(dma_out((H - 2) % 2, H - 2))
-    wait(dma_out((H - 1) % 2, H - 1))
+    for j in order[1:]:
+        carries, total = advance(ibuf[0, j].astype(jnp.int32), carries)
+        if fuse_add:
+            total = total + abuf[0, j].astype(jnp.int32)
+        obuf[0, j] = jnp.minimum(total, _BIG).astype(jnp.int16)
+    start(dma_out(0, 0))
+    if NP > 1:
+        start(dma_in(1, 1))
+
+    def step(k, carries):
+        slot = k % 2
+        wait(dma_in(slot, k))
+
+        @pl.when(k + 1 < NP)
+        def _():
+            start(dma_in((k + 1) % 2, k + 1))
+            if fuse_add:
+                start(dma_add((k + 1) % 2, k + 1))
+
+        # output slot reuse: the DMA issued 2 pairs ago must have retired
+        @pl.when(k >= 2)
+        def _():
+            wait(dma_out(slot, k - 2))
+
+        for t, j in enumerate(order):
+            carries, total = advance(ibuf[slot, j].astype(jnp.int32),
+                                     carries)
+            if fuse_add:
+                if t == 0:
+                    wait(dma_add(slot, k))
+                total = total + abuf[slot, j].astype(jnp.int32)
+            obuf[slot, j] = jnp.minimum(total, _BIG).astype(jnp.int16)
+        start(dma_out(slot, k))
+        return carries
+
+    carries = jax.lax.fori_loop(1, NP, step, carries)
+    if NP >= 2:
+        wait(dma_out((NP - 2) % 2, NP - 2))
+    wait(dma_out((NP - 1) % 2, NP - 1))
 
 
 @functools.partial(jax.jit,
@@ -185,7 +214,14 @@ def sgm_paths_dir_pallas(cost_bhdw, p1, p2, shifts=(0,), reverse=False,
         if add is not None:
             add = jnp.pad(add, ((0, 0), (0, 0), (0, 0), (0, Wp - W)))
     fuse_add = add is not None
-    BB = _group_size(B, D, Wp, len(shifts), fuse_add)
+    # wavefront height: prefer 2 rows per step (halves loop/semaphore
+    # overhead) but never at the cost of a smaller frame group — BB
+    # amortizes the same overhead and additionally pads B
+    BB = _group_size(B, D, Wp, len(shifts), fuse_add, rows=1)
+    R = 1
+    if H % 2 == 0 and _group_size(B, D, Wp, len(shifts), fuse_add,
+                                  rows=2) >= BB:
+        R = 2
     Bp = -(-B // BB) * BB
     if Bp != B:
         cost_bhdw = jnp.pad(cost_bhdw, ((0, 0), (0, Bp - B), (0, 0), (0, 0)),
@@ -196,27 +232,27 @@ def sgm_paths_dir_pallas(cost_bhdw, p1, p2, shifts=(0,), reverse=False,
     if add is not None:
         add = add.astype(jnp.int16)
     scratch = [
-        pltpu.VMEM((2, BB, D, Wp), jnp.int16),
-        pltpu.VMEM((2, BB, D, Wp), jnp.int16),
+        pltpu.VMEM((2, R, BB, D, Wp), jnp.int16),
+        pltpu.VMEM((2, R, BB, D, Wp), jnp.int16),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
     ]
     if fuse_add:
-        scratch += [pltpu.VMEM((2, BB, D, Wp), jnp.int16),
+        scratch += [pltpu.VMEM((2, R, BB, D, Wp), jnp.int16),
                     pltpu.SemaphoreType.DMA((2,))]
 
         def kern(cost_hbm, add_hbm, out_hbm, ibuf, obuf, isem, osem,
                  abuf, asem):
             _sgm_dir_kernel(cost_hbm, out_hbm, ibuf, obuf, isem, osem,
                             BB=BB, H=H, D=D, W=Wp, W_real=W, p1=p1, p2=p2,
-                            shifts=shifts, reverse=reverse,
+                            shifts=shifts, reverse=reverse, R=R,
                             abuf=abuf, asem=asem, add_hbm=add_hbm)
         args = (cost_bhdw, add)
         in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2
     else:
         kern = functools.partial(
             _sgm_dir_kernel, BB=BB, H=H, D=D, W=Wp, W_real=W, p1=p1, p2=p2,
-            shifts=shifts, reverse=reverse)
+            shifts=shifts, reverse=reverse, R=R)
         args = (cost_bhdw,)
         in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     out = pl.pallas_call(
