@@ -39,9 +39,13 @@ from ...matching.sgm import _CARRY_BIG, _INVALID
 # in int32 registers and clamp back to _CARRY_BIG on store.
 _BIG = _CARRY_BIG
 
-# VMEM budget for picking the frames-per-step group size (the chip has
-# ~16 MB; leave headroom for Mosaic's own temporaries)
-_VMEM_BUDGET = 10 * 1024 * 1024
+# VMEM budget for picking the frames-per-step group size. The XLA default
+# scoped-vmem limit is 16 MB, but the kernel requests its own limit via
+# CompilerParams(vmem_limit_bytes=...) sized from the actual scratch
+# buffers, so the budget here only bounds how much scratch we are willing
+# to pin (measured working: 2-row wavefront at 4 frames = ~14.4 MB
+# scratch + ~3 MB Mosaic temporaries).
+_VMEM_BUDGET = 15 * 1024 * 1024
 
 
 def _group_size(B, D, Wp, n_shift, fuse_add, extra_i16_rows=0, rows=1):
@@ -255,6 +259,17 @@ def sgm_paths_dir_pallas(cost_bhdw, p1, p2, shifts=(0,), reverse=False,
             shifts=shifts, reverse=reverse, R=R)
         args = (cost_bhdw,)
         in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    # ask Mosaic for exactly the VMEM the scratch needs (+ slack for its
+    # own temporaries) — the XLA default scoped limit is 16 MB, which the
+    # 2-row wavefront at BB=4 exceeds; the physical VMEM is larger
+    n_bufs = 3 if fuse_add else 2
+    scratch_bytes = n_bufs * 2 * R * BB * D * Wp * 2 \
+        + len(shifts) * BB * D * Wp * 4
+    # Mosaic additionally stacks the advance body's int32 slab temporaries
+    # (~6-8 live [BB, D, W] i32 slabs); measured 17.59 M total at the
+    # R=2 BB=4 down pass whose scratch is 9.2 M
+    vmem_limit = min(2 * scratch_bytes + 4 * 1024 * 1024,
+                     100 * 1024 * 1024)
     out = pl.pallas_call(
         kern,
         grid=(Bp // BB,),
@@ -262,6 +277,7 @@ def sgm_paths_dir_pallas(cost_bhdw, p1, p2, shifts=(0,), reverse=False,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((H, Bp, D, Wp), jnp.int16),
         scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
     )(*args)
     return out[:, :B, :, :W]
 
